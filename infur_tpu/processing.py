@@ -1,0 +1,223 @@
+"""Processor protocol and host-side pipeline stages.
+
+The framework's core abstraction, kept from the reference because it is the
+right shape for an interactive pipeline (reference infur/src/processing.rs:23-60):
+a stage has a typed ``Command`` stream for parameter changes, ``advance``
+transforms an input into a caller-owned mutable output (enables buffer reuse
+and the retained-intermediates re-render semantics), and ``is_dirty`` reports
+whether advancing with the *same* input would produce new output — which
+drives both re-render-on-parameter-change and the scheduler's
+blocking-vs-polling command intake.
+
+Stages here run on the host (video source, display-path scale).  The model
+path runs on the TPU with scaling/normalization fused into the device
+preprocess kernel (infur_tpu.ops); :class:`Scale` is the host twin used for
+the display frame and for parity tests.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Generic, Sequence, TypeVar
+
+import numpy as np
+
+from infur_tpu.errors import ScaleError, VideoEOF
+from infur_tpu.video.decoder import VideoDecoder, open_video
+
+C = TypeVar("C")  # command
+I = TypeVar("I")  # input
+O = TypeVar("O")  # output
+
+
+@dataclass
+class Frame:
+    """A decoded video frame: monotonically increasing id + BGR uint8 image.
+
+    Equality is by id only (reference infur/src/processing.rs:14-18) — two
+    Frame objects with the same id are the same logical frame even if one is
+    a scaled copy.
+    """
+
+    id: int = 0
+    img: np.ndarray = field(default_factory=lambda: np.empty((0, 0, 3), np.uint8))
+
+    def __eq__(self, other: object) -> bool:
+        return isinstance(other, Frame) and self.id == other.id
+
+
+class Cell(Generic[O]):
+    """Caller-owned mutable output slot (the streaming-iterator pattern)."""
+
+    __slots__ = ("value",)
+
+    def __init__(self, value: O | None = None):
+        self.value: O | None = value
+
+
+class Processor(Generic[C, I, O]):
+    """A pipeline stage. Subclasses implement control/advance/is_dirty."""
+
+    def control(self, cmd: C) -> "Processor[C, I, O]":
+        """Apply a parameter change; raise a typed error on invalid commands."""
+        raise NotImplementedError
+
+    def advance(self, inp: I, out: Cell[O]) -> None:
+        """Process ``inp`` into the caller-owned ``out`` slot."""
+        raise NotImplementedError
+
+    def is_dirty(self) -> bool:
+        """True if advancing with the same input would write new output."""
+        return False
+
+
+# ---------------------------------------------------------------------------
+# VideoPlayer: source stage
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Play:
+    """(Re)start playback from these decoder inputs."""
+    inputs: tuple[str, ...]
+
+    def __init__(self, inputs: Sequence[str]):
+        object.__setattr__(self, "inputs", tuple(inputs))
+
+
+@dataclass(frozen=True)
+class Pause:
+    paused: bool = True
+
+
+@dataclass(frozen=True)
+class Stop:
+    pass
+
+
+VideoCmd = Play | Pause | Stop
+
+
+class VideoPlayer(Processor[VideoCmd, None, Frame]):
+    """Source node wrapping a :class:`VideoDecoder`.
+
+    Behavior contract (reference infur/src/processing.rs:62-140):
+    ``Play`` closes any current video and opens the new inputs (a failed open
+    leaves the player stopped but alive); ``Pause`` freezes frame production;
+    ``Stop`` closes the video.  ``advance`` reuses/resizes the output Frame's
+    buffer and reads the next frame; clean EOF closes the video silently and
+    the last frame is retained by downstream stages.  ``is_dirty`` iff
+    playing and not paused.
+    """
+
+    def __init__(self) -> None:
+        self._vid: VideoDecoder | None = None
+        self.paused = False
+        self.inputs: tuple[str, ...] = ()
+
+    def _close_video(self) -> None:
+        if self._vid is not None:
+            vid, self._vid = self._vid, None
+            vid.close()
+
+    def control(self, cmd: VideoCmd) -> "VideoPlayer":
+        if isinstance(cmd, Play):
+            self._close_video()
+            self.inputs = cmd.inputs
+            self._vid = open_video(cmd.inputs)
+        elif isinstance(cmd, Pause):
+            self.paused = cmd.paused
+        elif isinstance(cmd, Stop):
+            self._close_video()
+        else:
+            raise TypeError(f"not a VideoCmd: {cmd!r}")
+        return self
+
+    def is_dirty(self) -> bool:
+        return self._vid is not None and not self.paused
+
+    @property
+    def geometry(self) -> tuple[int, int, float] | None:
+        """(width, height, fps) of the open video, if any."""
+        v = self._vid
+        return None if v is None else (v.width, v.height, v.fps)
+
+    def advance(self, inp: None, out: Cell[Frame]) -> None:
+        if self.paused or self._vid is None:
+            return
+        vid = self._vid
+        frame = out.value
+        if (frame is None or frame.img.shape != (vid.height, vid.width, 3)
+                or not frame.img.flags.writeable):
+            frame = Frame(0, vid.empty_image())
+        try:
+            frame.id = vid.read_frame_into(frame.img)
+        except VideoEOF:
+            self._close_video()  # EOF-as-control-flow (processing.rs:133-135)
+            return
+        out.value = frame
+
+    def close(self) -> None:
+        self._close_video()
+
+
+# ---------------------------------------------------------------------------
+# Scale: display-path resize stage
+# ---------------------------------------------------------------------------
+
+class ValidScale(float):
+    """A scale factor validated to be finite and > 0
+    (reference infur/src/processing.rs:158-168)."""
+
+    def __new__(cls, value: float) -> "ValidScale":
+        v = float(value)
+        if not (v > 0.0) or v != v or v in (float("inf"),):
+            raise ScaleError(f"scale must be a finite positive number, got {value!r}")
+        return super().__new__(cls, v)
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize via integer gather (pixel-center sampling)."""
+    h, w = img.shape[:2]
+    ys = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
+    return img[ys[:, None], xs[None, :]]
+
+
+class Scale(Processor[float, Frame, Frame]):
+    """Resize frames by a validated factor; unit scale short-circuits.
+
+    Command = new scale factor; sets dirty only if the factor actually
+    changed, which is what re-renders a paused frame after a slider move
+    (reference infur/src/processing.rs:179-282 and app test
+    infur/src/app.rs:219-235).
+    """
+
+    def __init__(self, factor: float = 1.0):
+        self.factor = ValidScale(factor)
+        self._dirty = False
+
+    def control(self, cmd: float) -> "Scale":
+        new = ValidScale(cmd)
+        if new != self.factor:
+            self.factor = new
+            self._dirty = True
+        return self
+
+    def is_dirty(self) -> bool:
+        return self._dirty
+
+    def out_dims(self, h: int, w: int) -> tuple[int, int]:
+        return max(int(round(h * self.factor)), 0), max(int(round(w * self.factor)), 0)
+
+    def advance(self, inp: Frame, out: Cell[Frame]) -> None:
+        self._dirty = False
+        h, w = inp.img.shape[:2]
+        if h == 0 or w == 0:
+            raise ScaleError(f"input frame has zero size: {w}x{h}")
+        if self.factor == 1.0:
+            out.value = Frame(inp.id, inp.img.copy())
+            return
+        oh, ow = self.out_dims(h, w)
+        if oh == 0 or ow == 0:
+            raise ScaleError(f"output would have zero size: {ow}x{oh} (factor {float(self.factor)})")
+        out.value = Frame(inp.id, resize_nearest(inp.img, oh, ow))
