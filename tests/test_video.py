@@ -11,9 +11,9 @@ import pytest
 from infur_tpu.errors import VideoEOF, VideoReadError, VideoStartError
 from infur_tpu.video.rvf import RvfReader, RvfWriter, read_rvf, write_rvf
 from infur_tpu.video.decoder import RvfDecoder, SynthDecoder, open_video
-from infur_tpu.video.testsrc import (
-    SynthSpec, decode_frame_index, synth_spec_from_url, testsrc_frame, testsrc_video,
-)
+from infur_tpu.video.testsrc import SynthSpec, decode_frame_index, synth_spec_from_url
+from infur_tpu.video.testsrc import testsrc_frame as synth_frame
+from infur_tpu.video.testsrc import testsrc_video as synth_video
 
 
 class TestRvf:
@@ -78,15 +78,15 @@ class TestSynth:
 
     def test_deterministic_and_index_coded(self):
         spec = SynthSpec(128, 96, 30.0, 40)
-        a = testsrc_frame(spec, 7)
-        b = testsrc_frame(spec, 7)
+        a = synth_frame(spec, 7)
+        b = synth_frame(spec, 7)
         np.testing.assert_array_equal(a, b)
         for i in (0, 1, 13, 39):
-            assert decode_frame_index(testsrc_frame(spec, i), spec) == i
+            assert decode_frame_index(synth_frame(spec, i), spec) == i
 
     def test_video_batch(self):
         spec = SynthSpec(64, 48, 10.0, 4)
-        vid = testsrc_video(spec)
+        vid = synth_video(spec)
         assert vid.shape == (4, 48, 64, 3)
         assert not np.array_equal(vid[0], vid[1])  # motion exists
 
