@@ -1,0 +1,174 @@
+"""App composite: the whole pipeline as one Processor.
+
+Mirrors the reference's ``ProcessingApp`` (reference infur/src/app.rs:38-158):
+owns the stages plus their retained intermediate outputs, demuxes ``AppCmd``
+to children, and its ``generate`` runs the per-frame dataflow:
+
+    VideoPlayer -> [retained frame] -> Scale -> [retained scaled] ->
+    ModelStage -> [retained prediction] -> overlay -> GUIFrame
+
+Key semantics carried over exactly (tested the same way the reference tests
+them, app.rs:174-252):
+
+* retained intermediates: a *paused* video still re-renders its last frame
+  when the scale changes — downstream recomputes from the retained frame
+  with the SAME frame id (app.rs:219-235 / SURVEY §3.3);
+* a model load does not re-trigger a paused frame (Model::is_dirty false);
+* EOF closes the video silently and the last frame stays on screen;
+* errors are values: command errors raise typed ``InfurError`` subclasses
+  that the scheduler routes to the frontend, never crashes.
+
+TPU re-design: the scaled display frame and the mask are composited **on
+device** and returned as lazy ``jax.Array``s — the host only pays D2H for
+buffers a frontend actually reads (the reference pays five host copies per
+frame, SURVEY §3.2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+
+from infur_tpu.errors import InfurError
+from infur_tpu.model_stage import Load, ModelInfo, ModelStage, Prediction
+from infur_tpu.ops.colorcode import color_code, overlay
+from infur_tpu.processing import (
+    Cell, Frame, Pause, Play, Processor, Scale, Stop, VideoCmd,
+)
+
+
+# --- commands (reference AppCmd, app.rs:38-49) -----------------------------
+
+@dataclass(frozen=True)
+class ScaleCmd:
+    factor: float
+
+
+@dataclass(frozen=True)
+class ModelCmd:
+    spec: str
+
+
+@dataclass(frozen=True)
+class Exit:
+    pass
+
+
+AppCmd = Union[VideoCmd, ScaleCmd, ModelCmd, Exit]
+
+
+@dataclass
+class GUIFrame:
+    """One display-ready result (reference GUIFrame, app.rs:84-90).
+
+    ``buffer``: scaled frame as (h, w, 4) RGBA u8 — device array.
+    ``decoded``: color-coded mask (h', w', 4) RGBA u8, or None w/o model.
+    ``composited``: mask alpha-blended over scaled frame, or None.
+    All are ``jax.Array``s; call ``np.asarray`` to materialize on host.
+    """
+    id: int
+    buffer: jax.Array
+    decoded: jax.Array | None = None
+    composited: jax.Array | None = None
+
+
+@dataclass(frozen=True)
+class AppInfo:
+    """Debounced state snapshot for frontends (reference AppInfo)."""
+    model: ModelInfo | None
+    scale: float
+    playing: bool
+    paused: bool
+    geometry: tuple[int, int, float] | None
+
+
+@jax.jit
+def _frame_rgba(img_bgr_hwc: jax.Array) -> jax.Array:
+    h, w = img_bgr_hwc.shape[:2]
+    return jnp.concatenate(
+        [img_bgr_hwc[..., ::-1],
+         jnp.full((h, w, 1), 255, jnp.uint8)], axis=-1)
+
+
+class ProcessingApp(Processor[AppCmd, None, "GUIFrame | None"]):
+    def __init__(self) -> None:
+        from infur_tpu.processing import VideoPlayer
+        self.vid = VideoPlayer()
+        self.scale = Scale(1.0)
+        self.model = ModelStage()
+        self.frame: Cell[Frame] = Cell()
+        self.scaled: Cell[Frame] = Cell()
+        self.pred: Cell[Prediction] = Cell()
+        self.to_exit = False
+
+    # -- control: demux to children (app.rs:91-105) --
+    def control(self, cmd: AppCmd) -> "ProcessingApp":
+        if isinstance(cmd, (Play, Pause, Stop)):
+            self.vid.control(cmd)
+        elif isinstance(cmd, ScaleCmd):
+            self.scale.control(cmd.factor)
+        elif isinstance(cmd, ModelCmd):
+            self.model.control(Load(cmd.spec))
+        elif isinstance(cmd, Exit):
+            self.to_exit = True
+        else:
+            raise InfurError(f"unknown command {cmd!r}")
+        return self
+
+    def info(self) -> AppInfo:
+        return AppInfo(model=self.model.info(), scale=float(self.scale.factor),
+                       playing=self.vid.geometry is not None,
+                       paused=self.vid.paused, geometry=self.vid.geometry)
+
+    def is_dirty(self) -> bool:
+        return self.vid.is_dirty() or self.scale.is_dirty()
+
+    # -- the per-frame dataflow (app.rs:107-153) --
+    def advance(self, inp: None, out: Cell["GUIFrame | None"]) -> None:
+        out.value = None
+        scale_was_dirty = self.scale.is_dirty()
+
+        got_new_frame = self.vid.advance(None, self.frame)
+        frame = self.frame.value
+        if frame is None:
+            return
+
+        if got_new_frame or scale_was_dirty or self.scaled.value is None:
+            self.scale.advance(frame, self.scaled)
+        scaled = self.scaled.value
+        if scaled is None:
+            return
+
+        recompute_model = (got_new_frame or scale_was_dirty
+                           or (self.model.loaded
+                               and self.pred.value is not None
+                               and self.pred.value.frame_id != scaled.id))
+        if self.model.loaded and recompute_model:
+            self.model.advance(scaled, self.pred)
+        elif not self.model.loaded:
+            self.pred.value = None
+
+        if not (got_new_frame or scale_was_dirty):
+            return  # nothing new to show (paused & no param change)
+
+        scaled_dev = jnp.asarray(scaled.img)
+        buffer = _frame_rgba(scaled_dev)
+        decoded = composited = None
+        pred = self.pred.value
+        if pred is not None and pred.primary is not None:
+            scores = pred.primary
+            decoded = color_code(scores)
+            composited = overlay(scaled_dev, scores)
+        out.value = GUIFrame(id=scaled.id, buffer=buffer,
+                             decoded=decoded, composited=composited)
+
+    def generate(self) -> "GUIFrame | None":
+        cell: Cell[GUIFrame | None] = Cell()
+        self.advance(None, cell)
+        return cell.value
+
+    def close(self) -> None:
+        self.vid.close()

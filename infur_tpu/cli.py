@@ -1,0 +1,154 @@
+"""Headless CLI frontend.
+
+The reference's only frontend is an egui window (reference
+infur/src/gui.rs); this framework is headless-first: the CLI drives the
+same proc loop a GUI would (same channels, same commands) and sinks frames
+to files or nowhere (benchmark mode).  Typed per-stage errors arrive over
+the result channel and print as status lines, mirroring the GUI's
+per-stage status widgets (gui.rs:206-251).
+
+Usage:
+    python -m infur_tpu play synth:640x480@30:5 --model fcn_resnet50 \
+        --scale 0.5 --max-frames 60 --out /tmp/out --stats
+    python -m infur_tpu info model.onnx
+"""
+
+from __future__ import annotations
+
+import argparse
+import queue
+import sys
+import time
+
+import numpy as np
+
+from infur_tpu.app import AppInfo, GUIFrame, ModelCmd, ScaleCmd
+from infur_tpu.errors import InfurError
+from infur_tpu.processing import Pause, Play
+from infur_tpu.runtime.config import ProcConfig
+from infur_tpu.runtime.loop import start_proc
+from infur_tpu.runtime.metrics import FrameCounter
+
+
+def _save_png(path: str, rgba: np.ndarray) -> None:
+    from PIL import Image
+    Image.fromarray(rgba, "RGBA").save(path)
+
+
+def cmd_play(args: argparse.Namespace) -> int:
+    cfg = ProcConfig.load(args.config) if args.config else ProcConfig()
+    if args.inputs:
+        cfg.video_input = args.inputs
+    if args.scale is not None:
+        cfg.scale = args.scale
+    if args.model is not None:
+        cfg.model_input = args.model
+    cfg.paused = False
+    if not cfg.video_input:
+        print("error: no video input (give one or use --config)", file=sys.stderr)
+        return 2
+
+    handle = start_proc()
+    for cmd in cfg.commands():
+        handle.send(cmd)
+
+    counter = FrameCounter()
+    n = 0
+    exit_code = 0
+    deadline = time.monotonic() + args.timeout
+    try:
+        while n < args.max_frames:
+            try:
+                result = handle.frame_rx.get(timeout=0.5)
+            except queue.Empty:
+                # also surface control-channel results while idle
+                _drain_ctrl(handle, args)
+                if time.monotonic() > deadline:
+                    print("timeout waiting for frames", file=sys.stderr)
+                    exit_code = 2
+                    break
+                continue
+            if isinstance(result, InfurError):
+                print(f"[{result.stage}] {result}", file=sys.stderr)
+                exit_code = 1
+                continue
+            frame: GUIFrame = result
+            n += 1
+            counter.count(frame.id)
+            if args.out:
+                img = frame.composited if frame.composited is not None \
+                    else frame.buffer
+                _save_png(f"{args.out}/frame_{frame.id:06d}.png",
+                          np.asarray(img))
+            if args.stats and (stats := counter.stats()) is not None:
+                print(f"fps {stats.shown_fps:6.1f} shown "
+                      f"{stats.received_fps:6.1f} recv "
+                      f"{stats.drops:5.1f} drop", flush=True)
+            _drain_ctrl(handle, args)
+    finally:
+        handle.stop()
+    if args.save_config and args.config:
+        cfg.save(args.config)
+    print(f"processed {n} frames")
+    return exit_code
+
+
+def _drain_ctrl(handle, args) -> None:
+    while True:
+        try:
+            r = handle.ctrl_result_rx.get_nowait()
+        except queue.Empty:
+            return
+        if isinstance(r, InfurError):
+            print(f"[{r.stage}] {r}", file=sys.stderr)
+        elif isinstance(r, AppInfo) and args.stats:
+            geo = r.geometry
+            print(f"state: playing={r.playing} paused={r.paused} "
+                  f"scale={r.scale} geo={geo} "
+                  f"model={r.model.spec if r.model else None}", flush=True)
+
+
+def cmd_info(args: argparse.Namespace) -> int:
+    """Introspect a model the way the reference surfaces ModelInfo."""
+    from infur_tpu.model_stage import Load, ModelStage
+    stage = ModelStage()
+    try:
+        stage.control(Load(args.model))
+    except InfurError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    info = stage.info()
+    print(f"spec:    {info.spec}")
+    print(f"layout:  {info.layout}  dtype: {info.dtype}")
+    print(f"outputs: {', '.join(info.outputs)}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="infur_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    play = sub.add_parser("play", help="run the pipeline headlessly")
+    play.add_argument("inputs", nargs="*", help="video inputs "
+                      "(synth:WxH@FPS:D | *.rvf | anything ffmpeg opens)")
+    play.add_argument("--model", default=None,
+                      help="*.onnx | native family (fcn_resnet50[:bf16])")
+    play.add_argument("--scale", type=float, default=None)
+    play.add_argument("--max-frames", type=int, default=10 ** 9)
+    play.add_argument("--out", default=None, help="PNG output directory")
+    play.add_argument("--stats", action="store_true")
+    play.add_argument("--config", default=None, help="JSON config path")
+    play.add_argument("--save-config", action="store_true")
+    play.add_argument("--timeout", type=float, default=120.0)
+    play.set_defaults(fn=cmd_play)
+
+    info = sub.add_parser("info", help="introspect a model")
+    info.add_argument("model")
+    info.set_defaults(fn=cmd_info)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,202 @@
+"""Model pipeline stage: hot-swappable, format-inferring, device-resident.
+
+The reference's ``Model<ImageSession>`` stage (reference
+infur/src/predict_onnx.rs:65-345) re-imagined for the TPU:
+
+* ``Load(spec)`` commands swap the model at runtime; ``Load("")`` unloads
+  (inference disabled), exactly like the reference
+  (predict_onnx.rs:310-312).  Specs resolve to an imported ONNX file, a
+  native model family, or a native-family checkpoint.
+* The input preprocessing is *inferred from the model signature* with the
+  reference's heuristic (predict_onnx.rs:223-265): exactly 4 input dims,
+  the color axis is the first dim of static size 3 (position 1 -> NCHW,
+  position 3 -> NHWC); float input -> normalized RGB (torchvision ImageNet
+  stats), uint8 input -> raw BGR bytes.
+* ``advance`` runs the fused device preprocess + the jitted model; outputs
+  stay on device (no host clone — the reference is forced to clone every
+  output, predict_onnx.rs:325-331).
+* ``is_dirty`` is always False: loading a model does not re-trigger a
+  paused frame (predict_onnx.rs:336-338).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from infur_tpu.errors import ModelInputFormatError, ModelLoadError
+from infur_tpu.processing import Cell, Frame, Processor
+from infur_tpu.ops.preprocess import PreProc, preprocess
+
+
+@dataclass(frozen=True)
+class Load:
+    """Load a model: path to .onnx, a native family name
+    (e.g. "fcn_resnet50", "fcn_resnet50:bf16"), or "" to unload."""
+    spec: str = ""
+
+
+ModelCmd = Load
+
+
+@dataclass
+class Prediction:
+    """Model outputs for one frame; arrays are device-resident, batch-stripped."""
+    frame_id: int = -1
+    outputs: dict[str, jax.Array] = field(default_factory=dict)
+
+    @property
+    def primary(self) -> jax.Array | None:
+        """The first output — the segmentation scores (K, H, W)."""
+        return next(iter(self.outputs.values()), None)
+
+
+@dataclass(frozen=True)
+class ModelInfo:
+    """Surface for frontends (reference AppInfo/ModelInfo, app.rs:77-82)."""
+    spec: str
+    inputs: tuple[str, ...]
+    outputs: tuple[str, ...]
+    layout: str
+    dtype: str
+
+
+def infer_sig_preproc(dims: tuple[Any, ...], dtype: np.dtype,
+                      out_hw: tuple[int, int],
+                      compute_dtype: str = "float32") -> PreProc:
+    """The reference's input-format heuristic (predict_onnx.rs:223-265).
+
+    ``dims`` may contain ints or None/str for symbolic dims.  Raises
+    :class:`ModelInputFormatError` exactly where the reference does.
+    """
+    if len(dims) != 4:
+        raise ModelInputFormatError(
+            f"model input must have 4 dims, got {len(dims)}: {dims}")
+    static = [d if isinstance(d, int) else None for d in dims]
+    if static[1] == 3:
+        layout = "NCHW"
+    elif static[3] == 3:
+        layout = "NHWC"
+    else:
+        raise ModelInputFormatError(
+            f"no color axis of static size 3 in {dims} (positions 1/3)")
+    if np.issubdtype(dtype, np.floating):
+        # float models are conventionally RGB+ImageNet-normalized
+        # (predict_onnx.rs:296-301, 175-180)
+        return PreProc.imagenet(out_hw, layout=layout, channel_order="rgb",
+                                compute_dtype=compute_dtype)
+    if dtype == np.uint8:
+        # u8 models are conventionally BGR raw bytes
+        return PreProc(out_hw=out_hw, layout=layout, dtype="u8",
+                       channel_order="bgr")
+    raise ModelInputFormatError(f"unsupported model input dtype {dtype}")
+
+
+class _OnnxBackend:
+    def __init__(self, spec: str):
+        from infur_tpu.onnx import import_model
+        self.imported = import_model(spec)
+        vi = self.imported.input_info
+        if len(vi) != 1:
+            raise ModelInputFormatError(
+                f"expected 1 model input, got {[v.name for v in vi]}")
+        from infur_tpu.onnx.proto import _DTYPE_MAP
+        self.input_name = vi[0].name
+        self.dims = tuple(vi[0].shape)
+        self.np_dtype = np.dtype(_DTYPE_MAP[vi[0].elem_type])
+        self.output_names = tuple(self.imported.output_names)
+
+    def preproc(self, out_hw: tuple[int, int]) -> PreProc:
+        return infer_sig_preproc(self.dims, self.np_dtype, out_hw)
+
+    def __call__(self, x: jax.Array) -> dict[str, jax.Array]:
+        return self.imported({self.input_name: x})
+
+
+class _NativeFcnBackend:
+    """Native family: "fcn_resnet50[:bf16][@/path/to/ckpt.npz]"."""
+
+    def __init__(self, spec: str):
+        from infur_tpu.models import fcn_resnet50_apply, init_fcn_resnet50
+        body, _, ckpt = spec.partition("@")
+        opts = body.split(":")[1:]
+        self.compute_dtype = "bfloat16" if "bf16" in opts else "float32"
+        if ckpt:
+            from infur_tpu.runtime.checkpoint import load_params
+            self.params = load_params(ckpt)
+        else:
+            self.params = init_fcn_resnet50(jax.random.PRNGKey(0))
+        self._apply = fcn_resnet50_apply
+        self.dims = (1, None, None, 3)
+        self.np_dtype = np.dtype(np.float32)
+        self.output_names = ("out", "aux") if "aux_head" in self.params else ("out",)
+
+    def preproc(self, out_hw: tuple[int, int]) -> PreProc:
+        return PreProc.imagenet(out_hw, layout="NHWC", channel_order="rgb",
+                                compute_dtype=self.compute_dtype)
+
+    def __call__(self, x: jax.Array) -> dict[str, jax.Array]:
+        return self._apply(self.params, x, compute_dtype=self.compute_dtype)
+
+
+def _open_backend(spec: str):
+    if spec.endswith(".onnx"):
+        try:
+            return _OnnxBackend(spec)
+        except (OSError, ValueError) as e:
+            raise ModelLoadError(f"cannot load {spec!r}: {e}") from e
+    family = spec.split(":")[0].split("@")[0]
+    if family == "fcn_resnet50":
+        return _NativeFcnBackend(spec)
+    raise ModelLoadError(
+        f"unknown model spec {spec!r} (expected *.onnx or a native family)")
+
+
+class ModelStage(Processor[ModelCmd, Frame, Prediction]):
+    """Runs the loaded model on (scaled) frames; no-op when unloaded."""
+
+    def __init__(self) -> None:
+        self.spec = ""
+        self._backend = None
+
+    def control(self, cmd: ModelCmd) -> "ModelStage":
+        if not isinstance(cmd, Load):
+            raise ModelLoadError(f"not a model command: {cmd!r}")
+        if cmd.spec == "":
+            self._backend, self.spec = None, ""
+        else:
+            self._backend = _open_backend(cmd.spec)  # raises ModelLoadError
+            self.spec = cmd.spec
+        return self
+
+    @property
+    def loaded(self) -> bool:
+        return self._backend is not None
+
+    def info(self) -> ModelInfo | None:
+        b = self._backend
+        if b is None:
+            return None
+        pp = b.preproc((1, 1))
+        return ModelInfo(spec=self.spec, inputs=("image",),
+                         outputs=b.output_names, layout=pp.layout,
+                         dtype=pp.dtype)
+
+    def is_dirty(self) -> bool:
+        return False  # model load does not re-trigger a paused frame
+
+    def advance(self, inp: Frame, out: Cell[Prediction]) -> None:
+        b = self._backend
+        if b is None:
+            return
+        h, w = inp.img.shape[:2]
+        x = preprocess(jnp.asarray(inp.img), b.preproc((h, w)))
+        outputs = b(x)
+        pred = out.value if isinstance(out.value, Prediction) else Prediction()
+        pred.frame_id = inp.id
+        pred.outputs = {k: v[0] for k, v in outputs.items()}  # strip batch
+        out.value = pred

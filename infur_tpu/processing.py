@@ -62,8 +62,13 @@ class Processor(Generic[C, I, O]):
         """Apply a parameter change; raise a typed error on invalid commands."""
         raise NotImplementedError
 
-    def advance(self, inp: I, out: Cell[O]) -> None:
-        """Process ``inp`` into the caller-owned ``out`` slot."""
+    def advance(self, inp: I, out: Cell[O]):
+        """Process ``inp`` into the caller-owned ``out`` slot.
+
+        May return a stage-specific result (the reference's associated
+        ``ProcessResult`` type, processing.rs:28-31) — e.g. the video source
+        returns whether a frame was actually produced this tick.
+        """
         raise NotImplementedError
 
     def is_dirty(self) -> bool:
@@ -141,9 +146,11 @@ class VideoPlayer(Processor[VideoCmd, None, Frame]):
         v = self._vid
         return None if v is None else (v.width, v.height, v.fps)
 
-    def advance(self, inp: None, out: Cell[Frame]) -> None:
+    def advance(self, inp: None, out: Cell[Frame]) -> bool:
+        """Read the next frame; returns True iff a frame was produced
+        (False while paused/stopped/EOF — the retained frame is untouched)."""
         if self.paused or self._vid is None:
-            return
+            return False
         vid = self._vid
         frame = out.value
         if (frame is None or frame.img.shape != (vid.height, vid.width, 3)
@@ -153,8 +160,9 @@ class VideoPlayer(Processor[VideoCmd, None, Frame]):
             frame.id = vid.read_frame_into(frame.img)
         except VideoEOF:
             self._close_video()  # EOF-as-control-flow (processing.rs:133-135)
-            return
+            return False
         out.value = frame
+        return True
 
     def close(self) -> None:
         self._close_video()

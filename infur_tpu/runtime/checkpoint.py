@@ -1,0 +1,56 @@
+"""Params checkpoint I/O (npz flat format).
+
+The reference has no model checkpointing (models are opaque ONNX files);
+native model families here need one.  Format: a single ``.npz`` whose keys
+are ``/``-joined pytree paths — loadable without knowing the tree shape,
+and diffable with plain numpy tooling.  (orbax is available for sharded
+multi-host checkpoints later; this flat format is the portable baseline.)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+
+def _flatten(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: dict[str, np.ndarray]) -> Any:
+    root: dict = {}
+    for path, arr in flat.items():
+        parts = path.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = arr
+
+    def listify(node: Any) -> Any:
+        if not isinstance(node, dict):
+            return node
+        keys = list(node.keys())
+        if keys and all(k.isdigit() for k in keys):
+            return [listify(node[str(i)]) for i in range(len(keys))]
+        return {k: listify(v) for k, v in node.items()}
+
+    return listify(root)
+
+
+def save_params(path: str, params: Any) -> None:
+    np.savez(path, **_flatten(params))
+
+
+def load_params(path: str) -> Any:
+    with np.load(path) as z:
+        return _unflatten({k: z[k] for k in z.files})

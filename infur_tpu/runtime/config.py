@@ -1,0 +1,55 @@
+"""Persisted app config, replayed as commands on startup.
+
+The reference persists ``ProcConfig`` via eframe storage and *replays* it as
+ordinary commands when the GUI starts — config IS an initial command script,
+not separate state (reference infur/src/gui.rs:91-103, 148-155,
+main.rs:120-129).  Same design here with a JSON file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass, field
+
+
+DEFAULT_PATH = os.path.expanduser("~/.config/infur_tpu/config.json")
+
+
+@dataclass
+class ProcConfig:
+    video_input: list[str] = field(default_factory=list)
+    scale: float = 0.5          # reference default (gui.rs:101)
+    paused: bool = False
+    model_input: str = ""
+
+    @classmethod
+    def load(cls, path: str = DEFAULT_PATH) -> "ProcConfig":
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            return cls()
+        known = {k: v for k, v in data.items() if k in cls.__dataclass_fields__}
+        return cls(**known)
+
+    def save(self, path: str = DEFAULT_PATH) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(asdict(self), f, indent=2)
+        os.replace(tmp, path)
+
+    def commands(self) -> list:
+        """The startup command script (reference gui.rs:148-155 order:
+        Scale, Play, Pause, Load)."""
+        from infur_tpu.app import ModelCmd, ScaleCmd
+        from infur_tpu.processing import Pause, Play
+
+        cmds: list = [ScaleCmd(self.scale)]
+        if self.video_input:
+            cmds.append(Play(self.video_input))
+        cmds.append(Pause(self.paused))
+        if self.model_input:
+            cmds.append(ModelCmd(self.model_input))
+        return cmds

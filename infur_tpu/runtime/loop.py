@@ -1,0 +1,126 @@
+"""The scheduler: a processing thread with adaptive command intake.
+
+Reference behavior reproduced exactly (reference infur/src/main.rs:27-99):
+
+* **blocking** command receive while the app is clean (paused/stopped —
+  zero CPU burn);
+* **non-blocking drain** of the command queue while playing;
+* command errors and state-change snapshots go to the control-result
+  channel; generated frames (or frame errors) go to the *bounded* frame
+  channel whose capacity-2 backpressure throttles the whole pipeline
+  (a slow consumer stalls generate(), which stalls the decoder read,
+  which fills the OS pipe, which stalls ffmpeg — flow control end to end
+  with no explicit rate logic, SURVEY §3.1);
+* exits on ``Exit`` or when the command channel hangs up.
+
+The channels are stdlib ``queue.Queue``s; unlike the reference's Rust mpsc
+there is no disconnect signal, so hangup is modeled with ``None`` sentinels.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Any
+
+from infur_tpu.app import AppCmd, AppInfo, Exit, GUIFrame, ProcessingApp
+from infur_tpu.errors import InfurError
+
+#: result channel payloads: a GUIFrame, an InfurError, or AppInfo snapshot
+FrameResult = Any
+CtrlResult = Any
+
+FRAME_CHANNEL_DEPTH = 2  # the reference's sync_channel(2) (main.rs:105)
+
+
+def proc_loop(ctrl_rx: "queue.Queue[AppCmd | None]",
+              frame_tx: "queue.Queue[FrameResult]",
+              app_tx: "queue.Queue[CtrlResult]",
+              app: ProcessingApp | None = None) -> None:
+    """Run until Exit/hangup.  Mirrors reference main.rs:42-98."""
+    if app is None:
+        app = ProcessingApp()  # constructed on this thread (main.rs:38-40)
+    state_change = True  # announce initial state
+    try:
+        while not app.to_exit:
+            # -- command intake: blocking when clean, draining when dirty --
+            cmds: list[AppCmd] = []
+            if not app.is_dirty():
+                cmd = ctrl_rx.get()
+                if cmd is None:
+                    return
+                cmds.append(cmd)
+            while True:
+                try:
+                    cmd = ctrl_rx.get_nowait()
+                except queue.Empty:
+                    break
+                if cmd is None:
+                    return
+                cmds.append(cmd)
+
+            for cmd in cmds:
+                try:
+                    app.control(cmd)
+                    state_change = True
+                except InfurError as e:
+                    app_tx.put(e)  # command errors -> frontend status line
+            if app.to_exit:
+                return
+
+            if state_change:
+                app_tx.put(app.info())  # debounced snapshot (main.rs:81-83)
+                state_change = False
+
+            # -- generate one frame; errors are values --
+            try:
+                frame = app.generate()
+            except InfurError as e:
+                frame_tx.put(e)
+                continue
+            if frame is not None:
+                frame_tx.put(frame)  # blocks on backpressure (main.rs:86-88)
+    finally:
+        app.close()
+
+
+@dataclass
+class ProcHandle:
+    """A running processing thread + its channels."""
+    ctrl_tx: "queue.Queue[AppCmd | None]"
+    frame_rx: "queue.Queue[FrameResult]"
+    ctrl_result_rx: "queue.Queue[CtrlResult]"
+    thread: threading.Thread
+
+    def send(self, cmd: AppCmd) -> None:
+        self.ctrl_tx.put(cmd)
+
+    def stop(self, timeout: float = 10.0) -> None:
+        """Graceful shutdown handshake (reference gui.rs:336-347)."""
+        from infur_tpu.processing import Stop
+        self.send(Stop())
+        self.send(Exit())
+        # drain so a generate() blocked on the bounded channel can finish
+        while self.thread.is_alive():
+            try:
+                self.frame_rx.get(timeout=0.05)
+            except queue.Empty:
+                pass
+            self.thread.join(timeout=0.001)
+            if not self.thread.is_alive():
+                break
+        self.thread.join(timeout=timeout)
+
+
+def start_proc(app: ProcessingApp | None = None,
+               name: str = "Proc") -> ProcHandle:
+    """Spawn the processing thread (reference main.rs:110-112)."""
+    ctrl: "queue.Queue[AppCmd | None]" = queue.Queue()
+    frames: "queue.Queue[FrameResult]" = queue.Queue(FRAME_CHANNEL_DEPTH)
+    results: "queue.Queue[CtrlResult]" = queue.Queue()
+    t = threading.Thread(target=proc_loop, args=(ctrl, frames, results, app),
+                         name=name, daemon=True)
+    t.start()
+    return ProcHandle(ctrl_tx=ctrl, frame_rx=frames, ctrl_result_rx=results,
+                      thread=t)

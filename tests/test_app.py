@@ -1,0 +1,155 @@
+"""App-composite + scheduler behavior, mirroring the reference's app tests
+(reference infur/src/app.rs:174-252) driven headlessly through the same
+Processor API a GUI would use."""
+
+import queue
+
+import numpy as np
+import pytest
+
+from infur_tpu.app import Exit, GUIFrame, ModelCmd, ProcessingApp, ScaleCmd
+from infur_tpu.errors import ModelLoadError, ScaleError
+from infur_tpu.processing import Pause, Play, Stop
+from infur_tpu.runtime.loop import start_proc
+
+
+def synth(w=64, h=48, fps=10, secs=1.0):
+    return [f"synth:{w}x{h}@{fps}:{secs}"]
+
+
+def test_play_produces_increasing_ids():
+    app = ProcessingApp()
+    app.control(Play(synth()))
+    f1 = app.generate()
+    f2 = app.generate()
+    assert isinstance(f1, GUIFrame) and isinstance(f2, GUIFrame)
+    assert f2.id == f1.id + 1
+    assert np.asarray(f1.buffer).shape == (48, 64, 4)
+    app.close()
+
+
+def test_switch_video_then_scale():
+    """Reference switch_video_then_scale (app.rs:203-217): dims follow the
+    active video, then scale 2x upscales."""
+    app = ProcessingApp()
+    app.control(Play(synth(32, 24)))
+    assert np.asarray(app.generate().buffer).shape == (24, 32, 4)
+    app.control(Play(synth(64, 48)))
+    assert np.asarray(app.generate().buffer).shape == (48, 64, 4)
+    app.control(ScaleCmd(2.0))
+    assert np.asarray(app.generate().buffer).shape == (96, 128, 4)
+    app.close()
+
+
+def test_pause_freezes_and_scale_rerenders_same_id():
+    """The retained-intermediates contract (app.rs:219-252 / SURVEY §3.3):
+    paused -> no new frames; a scale change re-renders the SAME frame id."""
+    app = ProcessingApp()
+    app.control(Play(synth()))
+    first = app.generate()
+    app.control(Pause(True))
+    assert app.generate() is None          # frozen
+    assert not app.is_dirty()
+    app.control(ScaleCmd(0.5))
+    assert app.is_dirty()                  # scale change marks dirty
+    rerendered = app.generate()
+    assert rerendered is not None
+    assert rerendered.id == first.id       # same frame, recomputed downstream
+    assert np.asarray(rerendered.buffer).shape == (24, 32, 4)
+    assert app.generate() is None          # still paused, nothing new
+    app.control(Pause(False))
+    resumed = app.generate()
+    assert resumed.id == first.id + 1      # resumes from the next frame
+    app.close()
+
+
+def test_eof_closes_silently_and_retains_last_frame():
+    app = ProcessingApp()
+    app.control(Play(synth(32, 24, fps=10, secs=0.2)))  # 2 frames
+    ids = []
+    for _ in range(2):
+        f = app.generate()
+        ids.append(f.id)
+    assert app.generate() is None  # EOF: closed silently, no error
+    assert ids == [1, 2]
+    assert not app.is_dirty()
+    # retained frame still re-renders on parameter change
+    app.control(ScaleCmd(2.0))
+    f = app.generate()
+    assert f.id == 2
+    app.close()
+
+
+def test_invalid_scale_is_typed_error():
+    app = ProcessingApp()
+    with pytest.raises(ScaleError):
+        app.control(ScaleCmd(0.0))
+    with pytest.raises(ScaleError):
+        app.control(ScaleCmd(float("nan")))
+
+
+def test_unknown_model_is_typed_error():
+    app = ProcessingApp()
+    with pytest.raises(ModelLoadError):
+        app.control(ModelCmd("no_such_family"))
+
+
+def test_model_on_frames_produces_masks():
+    app = ProcessingApp()
+    app.control(Play(synth(32, 24)))
+    app.control(ScaleCmd(1.0))
+    app.control(ModelCmd("fcn_resnet50"))
+    f = app.generate()
+    assert f.decoded is not None and f.composited is not None
+    assert np.asarray(f.decoded).shape == (24, 32, 4)
+    assert np.asarray(f.composited).shape == (24, 32, 4)
+    # unload disables inference (reference predict_onnx.rs:310-312)
+    app.control(ModelCmd(""))
+    f2 = app.generate()
+    assert f2.decoded is None and f2.composited is None
+    app.close()
+
+
+def test_model_load_does_not_retrigger_paused_frame():
+    """Model::is_dirty is always false (predict_onnx.rs:336-338)."""
+    app = ProcessingApp()
+    app.control(Play(synth()))
+    app.generate()
+    app.control(Pause(True))
+    app.control(ModelCmd("fcn_resnet50"))
+    assert not app.is_dirty()
+    assert app.generate() is None
+    app.close()
+
+
+def test_proc_loop_end_to_end():
+    """The threaded scheduler: commands in, frames+info out, clean exit."""
+    handle = start_proc()
+    handle.send(ScaleCmd(0.5))
+    handle.send(Play(synth(64, 48, fps=10, secs=0.5)))  # 5 frames
+    got = []
+    while len(got) < 5:
+        r = handle.frame_rx.get(timeout=10)
+        if isinstance(r, GUIFrame):
+            got.append(r.id)
+    assert got == [1, 2, 3, 4, 5]
+    infos = []
+    while True:
+        try:
+            infos.append(handle.ctrl_result_rx.get_nowait())
+        except queue.Empty:
+            break
+    assert any(getattr(i, "scale", None) == 0.5 for i in infos)
+    handle.stop()
+    assert not handle.thread.is_alive()
+
+
+def test_proc_loop_routes_command_errors():
+    handle = start_proc()
+    handle.send(Play(["/nonexistent/video.mp4xyz"]))
+    r = handle.ctrl_result_rx.get(timeout=10)
+    from infur_tpu.errors import InfurError
+    # either a start error or (if ffmpeg missing) a start error — both typed
+    assert isinstance(r, InfurError) or hasattr(r, "scale")
+    handle.send(Exit())
+    handle.stop()

@@ -1,0 +1,85 @@
+"""Runtime pieces: metrics, config persistence/replay, checkpoints, model
+stage heuristic."""
+
+import numpy as np
+import pytest
+
+from infur_tpu.errors import ModelInputFormatError
+from infur_tpu.model_stage import infer_sig_preproc
+from infur_tpu.runtime.checkpoint import load_params, save_params
+from infur_tpu.runtime.config import ProcConfig
+from infur_tpu.runtime.metrics import FrameCounter
+
+
+# -- input-format heuristic (reference predict_onnx.rs:223-265) -------------
+
+def test_heuristic_nchw_float():
+    pp = infer_sig_preproc((1, 3, 224, 224), np.dtype(np.float32), (10, 10))
+    assert pp.layout == "NCHW" and pp.dtype == "f32" and pp.channel_order == "rgb"
+    assert pp.mean == (0.485, 0.456, 0.406)
+
+
+def test_heuristic_nhwc_uint8():
+    pp = infer_sig_preproc((1, None, None, 3), np.dtype(np.uint8), (10, 10))
+    assert pp.layout == "NHWC" and pp.dtype == "u8" and pp.channel_order == "bgr"
+
+
+def test_heuristic_rejects_bad_rank_and_no_color_axis():
+    with pytest.raises(ModelInputFormatError):
+        infer_sig_preproc((1, 3, 224), np.dtype(np.float32), (10, 10))
+    with pytest.raises(ModelInputFormatError):
+        infer_sig_preproc((1, 4, 224, 224), np.dtype(np.float32), (10, 10))
+    with pytest.raises(ModelInputFormatError):
+        infer_sig_preproc((1, 3, 224, 224), np.dtype(np.int16), (10, 10))
+
+
+# -- FrameCounter (reference gui.rs:26-89) ----------------------------------
+
+def test_frame_counter_counts_drops():
+    fc = FrameCounter(window_s=0.0)  # every stats() call closes a window
+    fc.count(10)
+    fc.count(12)  # ids 10..12 => received 3, shown 2 => 1 drop
+    s = fc.stats()
+    assert s is not None
+    assert round(s.received_fps / s.shown_fps, 2) == 1.5
+
+
+def test_frame_counter_resets_on_restart():
+    fc = FrameCounter(window_s=0.0)
+    fc.count(100)
+    fc.count(3)  # id went backwards: restart (gui.rs:41-46)
+    s = fc.stats()
+    assert s is not None and s.drops == 0
+
+
+# -- config (reference gui.rs:91-103, 148-155) ------------------------------
+
+def test_config_roundtrip_and_replay_order(tmp_path):
+    p = str(tmp_path / "cfg.json")
+    cfg = ProcConfig(video_input=["synth:8x8@5:1"], scale=0.25, paused=True,
+                     model_input="fcn_resnet50")
+    cfg.save(p)
+    back = ProcConfig.load(p)
+    assert back == cfg
+    names = [type(c).__name__ for c in back.commands()]
+    assert names == ["ScaleCmd", "Play", "Pause", "ModelCmd"]
+
+
+def test_config_load_missing_gives_defaults(tmp_path):
+    cfg = ProcConfig.load(str(tmp_path / "nope.json"))
+    assert cfg.scale == 0.5 and cfg.video_input == []
+
+
+# -- checkpoints ------------------------------------------------------------
+
+def test_checkpoint_roundtrip(tmp_path):
+    params = {"a": np.arange(6.0).reshape(2, 3),
+              "blocks": [{"w": np.ones((2,))}, {"w": np.zeros((3,))}],
+              "nested": {"deep": {"x": np.float32(2.5)}}}
+    p = str(tmp_path / "ckpt.npz")
+    save_params(p, params)
+    back = load_params(p)
+    np.testing.assert_array_equal(back["a"], params["a"])
+    assert isinstance(back["blocks"], list) and len(back["blocks"]) == 2
+    np.testing.assert_array_equal(back["blocks"][1]["w"], np.zeros((3,)))
+    assert float(back["nested"]["deep"]["x"]) == 2.5
