@@ -141,8 +141,9 @@ def _bottleneck(x: jax.Array, p: dict[str, Any], stride: int, dilation: int) -> 
 
 def _maxpool_3x3s2(x: jax.Array) -> jax.Array:
     """Stem maxpool: kernel 3, stride 2, padding 1 (torchvision semantics)."""
-    neg = jnp.asarray(-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
-                      else jnp.iinfo(x.dtype).min, x.dtype)
+    # init value must be a Python literal for reduce_window autodiff
+    neg = -float("inf") if jnp.issubdtype(x.dtype, jnp.floating) \
+        else int(jnp.iinfo(x.dtype).min)
     return lax.reduce_window(
         x, neg, lax.max, window_dimensions=(1, 3, 3, 1),
         window_strides=(1, 2, 2, 1), padding=((0, 0), (1, 1), (1, 1), (0, 0)))

@@ -1,0 +1,102 @@
+"""Mesh + sharding rules for the flagship model, and a sharded train step.
+
+Design (scaling-book recipe): pick a mesh, annotate shardings on params and
+batch, let XLA GSPMD insert the collectives, profile, iterate.
+
+Axes:
+
+* ``data`` — batch/data parallelism: the multi-stream serving config (N
+  video streams -> one batched forward per tick) and the training batch.
+  Gradients psum over ``data``.
+* ``model`` — tensor parallelism: convolution *output channels* are sharded
+  (HWIO weights on their last axis); activations stay channel-sharded
+  through elementwise chains, XLA all-gathers at channel-mixing boundaries.
+  Residual-stage widths (256..2048) divide cleanly by typical axis sizes.
+
+BatchNorm statistics are per-channel, so they shard with the channels and
+need no cross-device reduction at inference.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, model_axis: int = 1,
+              devices: Any = None) -> Mesh:
+    """A (data, model) mesh over the first ``n_devices`` devices."""
+    devs = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    n = len(devs)
+    if n % model_axis:
+        raise ValueError(f"{n} devices not divisible by model_axis={model_axis}")
+    arr = np.asarray(devs).reshape(n // model_axis, model_axis)
+    return Mesh(arr, ("data", "model"))
+
+
+def _leaf_spec(path: str, leaf: jnp.ndarray, model_size: int) -> P:
+    """Sharding rule for one FCN param leaf (path is /-joined).
+
+    Channel dims that don't divide the model axis (e.g. the 21-class head)
+    replicate — GSPMD handles the mixed layout.
+    """
+    if leaf.ndim == 4 and leaf.shape[3] % model_size == 0:
+        return P(None, None, None, "model")  # conv HWIO: shard out-channels
+    if leaf.ndim == 1 and leaf.shape[0] % model_size == 0:
+        return P("model")  # BN stats / bias follow the channel shard
+    return P()
+
+
+def _tree_paths(tree: Any, prefix: str = "") -> Any:
+    if isinstance(tree, dict):
+        return {k: _tree_paths(v, f"{prefix}{k}/") for k, v in tree.items()}
+    if isinstance(tree, list):
+        return [_tree_paths(v, f"{prefix}{i}/") for i, v in enumerate(tree)]
+    return prefix[:-1]
+
+
+def shard_fcn_params(params: Any, mesh: Mesh) -> Any:
+    """NamedSharding pytree for FCN-ResNet50 params on ``mesh``."""
+    paths = _tree_paths(params)
+    model_size = mesh.shape["model"]
+    return jax.tree.map(
+        lambda path, leaf: NamedSharding(mesh, _leaf_spec(path, leaf, model_size)),
+        paths, params)
+
+
+def shard_batch(mesh: Mesh) -> NamedSharding:
+    """Batch tensors shard over ``data`` only (NHWC)."""
+    return NamedSharding(mesh, P("data"))
+
+
+def segmentation_loss(params: Any, x_nhwc: jax.Array, labels_nhw: jax.Array,
+                      aux_weight: float = 0.4) -> jax.Array:
+    """Pixel cross-entropy on out (+ aux, torchvision training recipe)."""
+    from infur_tpu.models.fcn_resnet50 import _fcn_forward
+    logits = _fcn_forward(params, x_nhwc, "float32")
+    def ce(nchw):
+        logp = jax.nn.log_softmax(nchw, axis=1)
+        picked = jnp.take_along_axis(logp, labels_nhw[:, None], axis=1)
+        return -picked.mean()
+    loss = ce(logits["out"])
+    if "aux" in logits:
+        loss = loss + aux_weight * ce(logits["aux"])
+    return loss
+
+
+@partial(jax.jit, static_argnames=("lr",), donate_argnums=(0,))
+def train_step(params: Any, x_nhwc: jax.Array, labels_nhw: jax.Array,
+               lr: float = 0.01) -> tuple[Any, jax.Array]:
+    """One SGD step.  Under a mesh with sharded params/batch, XLA inserts
+    the gradient psum over ``data`` and channel collectives over ``model``."""
+    loss, grads = jax.value_and_grad(segmentation_loss)(params, x_nhwc, labels_nhw)
+    new_params = jax.tree.map(lambda p, g: p - lr * g.astype(p.dtype),
+                              params, grads)
+    return new_params, loss

@@ -1,0 +1,131 @@
+"""ctypes binding for the native ffpipe decoder (csrc/ffpipe.cpp).
+
+The C++ library owns the ffmpeg subprocess, a stderr-parsing thread, and a
+read-ahead frame ring (decode overlaps compute — the pure-Python pipe
+reader in :mod:`infur_tpu.video.decoder` reads synchronously).  The .so is
+built lazily with the repo Makefile on first use and cached.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Sequence
+
+import numpy as np
+
+from infur_tpu.errors import VideoEOF, VideoReadError, VideoStartError
+
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "csrc")
+_SO = os.path.join(_CSRC, "build", "libffpipe.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+
+FFP_OK, FFP_EOF, FFP_ESPAWN, FFP_EHEADER, FFP_EREAD, FFP_EEXIT, FFP_EARG, \
+    FFP_ECLOSED = 0, -1, -2, -3, -4, -5, -6, -7
+
+
+def _build() -> bool:
+    try:
+        r = subprocess.run(["make", "-C", _CSRC, "-s"], capture_output=True,
+                           timeout=120)
+        return r.returncode == 0 and os.path.exists(_SO)
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+
+
+def _load():
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_SO) and not _build():
+            return None
+        lib = ctypes.CDLL(_SO)
+        lib.ffp_open.argtypes = [ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                                 ctypes.c_int, ctypes.POINTER(ctypes.c_void_p)]
+        lib.ffp_open.restype = ctypes.c_int
+        lib.ffp_geometry.argtypes = [ctypes.c_void_p,
+                                     ctypes.POINTER(ctypes.c_int),
+                                     ctypes.POINTER(ctypes.c_int),
+                                     ctypes.POINTER(ctypes.c_double)]
+        lib.ffp_geometry.restype = ctypes.c_int
+        lib.ffp_read_frame.argtypes = [ctypes.c_void_p,
+                                       ctypes.POINTER(ctypes.c_uint8),
+                                       ctypes.c_size_t]
+        lib.ffp_read_frame.restype = ctypes.c_int64
+        lib.ffp_last_line.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                      ctypes.c_size_t]
+        lib.ffp_last_line.restype = ctypes.c_int
+        lib.ffp_close.argtypes = [ctypes.c_void_p]
+        lib.ffp_close.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def have_ffpipe() -> bool:
+    return _load() is not None
+
+
+class FfpipeDecoder:
+    """Same contract as the other decoders (width/height/fps,
+    read_frame_into, close)."""
+
+    RING_DEPTH = 3
+
+    def __init__(self, inputs: Sequence[str]):
+        lib = _load()
+        if lib is None:
+            raise VideoStartError("ffpipe native library unavailable")
+        self._lib = lib
+        arr = (ctypes.c_char_p * len(inputs))(
+            *[i.encode() for i in inputs])
+        handle = ctypes.c_void_p()
+        rc = lib.ffp_open(arr, len(inputs), self.RING_DEPTH,
+                          ctypes.byref(handle))
+        if rc != FFP_OK:
+            raise VideoStartError(
+                {FFP_ESPAWN: "cannot spawn ffmpeg",
+                 FFP_EHEADER: "no output stream header within timeout"}
+                .get(rc, f"ffpipe open error {rc}"))
+        self._h = handle
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        fps = ctypes.c_double()
+        lib.ffp_geometry(self._h, ctypes.byref(w), ctypes.byref(h),
+                         ctypes.byref(fps))
+        self.width, self.height, self.fps = w.value, h.value, fps.value
+        self._closed = False
+
+    def _last_line(self) -> str:
+        buf = ctypes.create_string_buffer(512)
+        self._lib.ffp_last_line(self._h, buf, 512)
+        return buf.value.decode("utf-8", "replace")
+
+    def empty_image(self) -> np.ndarray:
+        return np.empty((self.height, self.width, 3), np.uint8)
+
+    def read_frame_into(self, img: np.ndarray) -> int:
+        n = self.width * self.height * 3
+        if img.nbytes != n or not img.flags.c_contiguous:
+            raise VideoReadError(
+                f"need a contiguous {n}-byte buffer, got {img.nbytes}")
+        ptr = img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        rid = self._lib.ffp_read_frame(self._h, ptr, n)
+        if rid > 0:
+            return int(rid)
+        if rid == FFP_EOF:
+            raise VideoEOF("video finished")
+        raise VideoReadError(f"ffpipe read error {rid}: {self._last_line()!r}")
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        self._closed = True
+        code = self._lib.ffp_close(self._h)
+        if code not in (0, 255):  # 255 = interrupted by 'q'
+            raise VideoReadError(f"ffmpeg exit code {code}")

@@ -1,0 +1,115 @@
+"""ffmpeg pipe decoders — Python and native C++ — against the ffmpeg shim.
+
+No real ffmpeg exists in this image, so a shim on PATH speaks its contract
+(stderr header in the reference's golden-transcript shape, raw bgr24 on
+stdout, 'q' handshake).  These tests exercise the *real* subprocess spawn /
+header parse / exact-read / graceful-close code on both implementations.
+"""
+
+import os
+import shutil
+import stat
+import sys
+
+import numpy as np
+import pytest
+
+from infur_tpu.errors import VideoEOF, VideoStartError
+from infur_tpu.video.decoder import FfmpegPipeDecoder
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+@pytest.fixture()
+def ffmpeg_on_path(tmp_path, monkeypatch):
+    """Install the shim as `ffmpeg` on PATH."""
+    shim = tmp_path / "ffmpeg"
+    shim.write_text(
+        f"#!{sys.executable}\nimport sys\n"
+        f"sys.argv[0] = 'ffmpeg'\n"
+        f"exec(open({os.path.join(HERE, 'ffmpeg_shim.py')!r}).read())\n")
+    shim.chmod(shim.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{tmp_path}{os.pathsep}{os.environ['PATH']}")
+    return str(shim)
+
+
+def _expected_frame(i, w, h):
+    n = w * h * 3
+    return (np.arange(n, dtype=np.int64) + i).astype(np.uint8).reshape(h, w, 3)
+
+
+class TestPythonPipeDecoder:
+    def test_header_frames_eof_close(self, ffmpeg_on_path):
+        d = FfmpegPipeDecoder(["shim:32x24@10:3"])
+        assert (d.width, d.height, d.fps) == (32, 24, 10.0)
+        buf = d.empty_image()
+        ids = []
+        for i in range(3):
+            ids.append(d.read_frame_into(buf))
+            np.testing.assert_array_equal(buf, _expected_frame(i, 32, 24))
+        assert ids == [1, 2, 3]
+        with pytest.raises(VideoEOF):
+            d.read_frame_into(buf)
+        d.close()
+
+    def test_header_timeout(self, ffmpeg_on_path, monkeypatch):
+        import infur_tpu.video.decoder as dec
+        monkeypatch.setattr(dec, "HEADER_TIMEOUT_S", 1.0)
+        with pytest.raises(VideoStartError):
+            FfmpegPipeDecoder(["shim:8x8@10:2:noheader"])
+
+    def test_close_mid_stream(self, ffmpeg_on_path):
+        d = FfmpegPipeDecoder(["shim:16x16@10:100:slow"])
+        buf = d.empty_image()
+        assert d.read_frame_into(buf) == 1
+        d.close()  # exit 255 from 'q' is normal
+
+
+needs_native = pytest.mark.skipif(
+    not shutil.which("make") or not shutil.which("g++"),
+    reason="no native toolchain")
+
+
+@needs_native
+class TestNativeFfpipe:
+    def test_header_frames_eof_close(self, ffmpeg_on_path):
+        from infur_tpu.video.ffpipe import FfpipeDecoder, have_ffpipe
+        assert have_ffpipe(), "libffpipe.so should build"
+        d = FfpipeDecoder(["shim:32x24@10:5"])
+        assert (d.width, d.height, d.fps) == (32, 24, 10.0)
+        buf = d.empty_image()
+        for i in range(5):
+            assert d.read_frame_into(buf) == i + 1
+            np.testing.assert_array_equal(buf, _expected_frame(i, 32, 24))
+        with pytest.raises(VideoEOF):
+            d.read_frame_into(buf)
+        d.close()
+
+    def test_readahead_ring_overlaps(self, ffmpeg_on_path):
+        """With a slow consumer the ring should already hold frames."""
+        import time
+
+        from infur_tpu.video.ffpipe import FfpipeDecoder
+        d = FfpipeDecoder(["shim:16x16@10:6"])
+        time.sleep(0.3)  # give the reader thread time to fill the ring
+        buf = d.empty_image()
+        t0 = time.perf_counter()
+        assert d.read_frame_into(buf) == 1
+        assert time.perf_counter() - t0 < 0.05  # served from the ring
+        d.close()
+
+    def test_header_timeout_native(self, ffmpeg_on_path):
+        pytest.skip("native timeout is 10s (compile-time); covered manually")
+
+    def test_open_error_bad_input(self, ffmpeg_on_path):
+        from infur_tpu.video.ffpipe import FfpipeDecoder
+        with pytest.raises(VideoStartError):
+            FfpipeDecoder(["not-a-shim-url"])
+
+
+def test_open_video_prefers_native(ffmpeg_on_path):
+    from infur_tpu.video.decoder import open_video
+    d = open_video(["shim:8x8@5:2"])
+    buf = d.empty_image()
+    assert d.read_frame_into(buf) == 1
+    d.close()
