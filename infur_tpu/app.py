@@ -160,8 +160,16 @@ class ProcessingApp(Processor[AppCmd, None, "GUIFrame | None"]):
         pred = self.pred.value
         if pred is not None and pred.primary is not None:
             scores = pred.primary
-            decoded = color_code(scores)
-            composited = overlay(scaled_dev, scores)
+            from infur_tpu.ops import on_tpu
+            if on_tpu():  # fused Pallas postprocess on real hardware
+                from infur_tpu.ops.colorcode import _DEFAULT_PALETTE
+                from infur_tpu.ops.pallas_colorcode import color_code_pallas
+                from infur_tpu.ops.pallas_overlay import overlay_pallas
+                decoded = color_code_pallas(scores, jnp.asarray(_DEFAULT_PALETTE))
+                composited = overlay_pallas(scaled_dev, scores)
+            else:
+                decoded = color_code(scores)
+                composited = overlay(scaled_dev, scores)
         out.value = GUIFrame(id=scaled.id, buffer=buffer,
                              decoded=decoded, composited=composited)
 

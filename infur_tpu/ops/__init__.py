@@ -19,3 +19,13 @@ and, where profiling justifies it, a Pallas kernel (infur_tpu.ops.pallas_*).
 
 from infur_tpu.ops.preprocess import PreProc, preprocess  # noqa: F401
 from infur_tpu.ops.colorcode import color_code, make_palette, overlay  # noqa: F401
+
+
+def on_tpu() -> bool:
+    """True when the default backend is a TPU (incl. the axon plugin) —
+    the condition for dispatching to the Pallas kernels."""
+    import jax
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except RuntimeError:
+        return False
