@@ -16,6 +16,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import queue
 import sys
 import time
@@ -124,6 +125,30 @@ def cmd_info(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_view(args: argparse.Namespace) -> int:
+    from infur_tpu.viewer import serve
+    cfg = ProcConfig.load(args.config) if args.config else ProcConfig()
+    if args.inputs:
+        cfg.video_input = args.inputs
+    if args.scale is not None:
+        cfg.scale = args.scale
+    if args.model is not None:
+        cfg.model_input = args.model
+    print(f"viewer at http://{args.host}:{args.port}/", flush=True)
+    serve(args.host, args.port, config=cfg)
+    return 0
+
+
+def cmd_testgen(args: argparse.Namespace) -> int:
+    from infur_tpu.testgen import generate
+    h, w = (int(v) for v in args.model_size.split("x"))
+    paths = generate(args.root, model_hw=(h, w), long_secs=args.long_secs)
+    for name, path in paths.items():
+        size = os.path.getsize(path)
+        print(f"{name}: {path} ({size/1e6:.1f} MB)")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="infur_tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -145,6 +170,23 @@ def main(argv: list[str] | None = None) -> int:
     info = sub.add_parser("info", help="introspect a model")
     info.add_argument("model")
     info.set_defaults(fn=cmd_info)
+
+    view = sub.add_parser("view", help="serve the web viewer")
+    view.add_argument("inputs", nargs="*")
+    view.add_argument("--model", default=None)
+    view.add_argument("--scale", type=float, default=None)
+    view.add_argument("--config", default=None)
+    view.add_argument("--host", default="127.0.0.1")
+    view.add_argument("--port", type=int, default=8793)
+    view.set_defaults(fn=cmd_view)
+
+    tg = sub.add_parser("testgen", help="generate test fixtures "
+                        "(videos + f32/int8 FCN models)")
+    tg.add_argument("--root", default="fixtures")
+    tg.add_argument("--model-size", default="120x160",
+                    help="HxW of the fixture model input")
+    tg.add_argument("--long-secs", type=float, default=40.0)
+    tg.set_defaults(fn=cmd_testgen)
 
     args = p.parse_args(argv)
     return args.fn(args)

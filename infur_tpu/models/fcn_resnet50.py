@@ -231,7 +231,10 @@ def fcn_resnet50_to_onnx(params: dict[str, Any], input_hw: tuple[int, int],
 
     h, w = input_hw
     g = GraphBuilder("fcn_resnet50")
-    x = g.input("input", np.float32, (1, 3, h, w))
+    # symbolic spatial dims + Shape-driven Resize (the zoo model's idiom):
+    # the file accepts any input size; the importer resolves the shape
+    # machinery statically at trace time
+    x = g.input("input", np.float32, (1, 3, "height", "width"))
 
     def conv(x, wkey_arr, stride=1, dilation=1, bias=None, name=None):
         kh = wkey_arr.shape[0]
@@ -278,18 +281,23 @@ def fcn_resnet50_to_onnx(params: dict[str, Any], input_hw: tuple[int, int],
         y = relu(bn(conv(x, p["conv1"]), p["bn1"]))
         return conv(y, p["conv2"], bias=p["bias2"])
 
+    # dynamic output size: Shape(input) -> spatial dims -> Concat target
+    in_shape = g.node("Shape", [x])
+    hw = g.node("Slice", [in_shape, g.const(np.asarray([2], np.int64)),
+                          g.const(np.asarray([4], np.int64)),
+                          g.const(np.asarray([0], np.int64))])
+    nk = g.const(np.asarray([1, NUM_CLASSES], np.int64), "resize_nk")
+    sizes = g.node("Concat", [nk, hw], axis=0)
+
     def up(x):
-        return g.node("Resize",
-                      [x, "", "", g.const(np.asarray([1, NUM_CLASSES, h, w],
-                                                     np.int64))],
-                      mode="linear",
+        return g.node("Resize", [x, "", "", sizes], mode="linear",
                       coordinate_transformation_mode="half_pixel")
 
     out = up(head(feats["layer4"], params["head"]))
     g.output(g.node("Identity", [out], outputs=["out"]), np.float32,
-             (1, NUM_CLASSES, h, w))
+             (1, NUM_CLASSES, "height", "width"))
     if "aux_head" in params:
         aux = up(head(feats["layer3"], params["aux_head"]))
         g.output(g.node("Identity", [aux], outputs=["aux"]), np.float32,
-                 (1, NUM_CLASSES, h, w))
+                 (1, NUM_CLASSES, "height", "width"))
     return g.model(opset=opset)

@@ -150,6 +150,25 @@ def _jcast(attrs, x):
     return x.astype(_DTYPE_MAP[attrs["to"]])
 
 
+# Shape/Size are static under jit (trace-time shapes are concrete): they
+# return NUMPY arrays, and the trace loop keeps all-numpy-input nodes in
+# the numpy domain (oracle ops) — so the zoo models' dynamic
+# Shape->Gather->Concat->Resize idiom resolves to constants at trace time
+# and XLA never sees a dynamic shape.
+@jop("Shape")
+def _jshape(attrs, x):
+    dims = x.shape
+    start = attrs.get("start", 0) or 0
+    end = attrs.get("end")
+    sl = dims[start:end] if end is not None else dims[start:]
+    return np.asarray(sl, np.int64)
+
+
+@jop("Size")
+def _jsize(attrs, x):
+    return np.asarray(int(np.prod(x.shape)), np.int64)
+
+
 # ---------------------------------------------------------------------------
 # Structure ops (shape arguments arrive constant-folded as numpy)
 # ---------------------------------------------------------------------------
@@ -731,7 +750,14 @@ def import_graph(graph: GraphProto, *,
         with jax.default_matmul_precision(matmul_precision):
             for node in traced_nodes:
                 args = [env[n] if n else None for n in node.input]
-                result = JAX_OPS[node.op_type](node.attrs(), *args)
+                # keep shape machinery in the numpy domain at trace time:
+                # all-numpy inputs + an oracle op => evaluate statically
+                if node.op_type in oracle.OPS and all(
+                        a is None or isinstance(a, (np.ndarray, np.generic))
+                        for a in args) and node.op_type != "Constant":
+                    result = oracle.OPS[node.op_type](node.attrs(), *args)
+                else:
+                    result = JAX_OPS[node.op_type](node.attrs(), *args)
                 outs = result if isinstance(result, tuple) else (result,)
                 for n, v in zip(node.output, outs):
                     if n:

@@ -1,0 +1,260 @@
+"""Static int8 quantization: f32 ONNX graph -> QLinear (QOperator) graph.
+
+The reference's flagship model is onnxruntime's static quantization of
+FCN-ResNet50 (``fcn-resnet50-12-int8``, downloaded at
+infur-test-gen/build.rs:88-93).  This module is the native equivalent of
+that toolchain so the framework can *produce* such models, not just run
+them:
+
+1. **Calibrate** — run the f32 graph (NumPy oracle) on calibration feeds,
+   recording min/max of every activation tensor.
+2. **Quantize** — rewrite the graph in QOperator form: activations u8
+   asymmetric per-tensor, weights s8 symmetric per-channel, bias i32 at
+   scale s_x*s_w; Conv -> QLinearConv, Add -> QLinearAdd, MaxPool stays u8
+   (order-preserving), Relu folds into the producer's output range, and
+   everything else gets DequantizeLinear'd inputs and stays f32.
+
+The graph keeps f32 inputs/outputs (QuantizeLinear at entry, Dequantize at
+the boundary), exactly like the zoo model.  Run ``fold_batchnorm`` first.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from infur_tpu.onnx.proto import (
+    GraphProto, ModelProto, make_model, make_node, numpy_to_tensor,
+    tensor_to_numpy,
+)
+
+# ops that run in the integer domain
+_Q_PASSTHROUGH = {"MaxPool"}  # same scale/zp in as out
+
+
+@dataclass
+class QParam:
+    scale: float
+    zero_point: int
+
+
+def _qparam(lo: float, hi: float) -> QParam:
+    """u8 asymmetric range including zero (ort's default calibration)."""
+    lo, hi = min(float(lo), 0.0), max(float(hi), 0.0)
+    scale = (hi - lo) / 255.0
+    if scale <= 0.0:
+        return QParam(1.0, 0)
+    zp = int(np.clip(round(-lo / scale), 0, 255))
+    return QParam(scale, zp)
+
+
+def calibrate(model: ModelProto, feeds_list: list[dict[str, np.ndarray]],
+              ) -> dict[str, tuple[float, float]]:
+    """Min/max of every activation tensor over the calibration feeds."""
+    from infur_tpu.onnx.oracle import run_graph
+
+    g = model.graph
+    init_names = {t.name for t in g.initializer}
+    acts = [vi.name for vi in g.input if vi.name not in init_names]
+    for n in g.node:
+        acts.extend(o for o in n.output if o)
+    ranges: dict[str, tuple[float, float]] = {}
+    for feeds in feeds_list:
+        vals = run_graph(g, feeds, outputs=acts)
+        for name, v in vals.items():
+            if not np.issubdtype(v.dtype, np.floating):
+                continue
+            lo, hi = float(v.min()), float(v.max())
+            if name in ranges:
+                plo, phi = ranges[name]
+                ranges[name] = (min(plo, lo), max(phi, hi))
+            else:
+                ranges[name] = (lo, hi)
+    return ranges
+
+
+def quantize_static(model: ModelProto,
+                    feeds_list: list[dict[str, np.ndarray]],
+                    opset: int = 13) -> ModelProto:
+    """Produce the QOperator-format int8 model (see module docstring)."""
+    g = model.graph
+    ranges = calibrate(model, feeds_list)
+    inits = {t.name: tensor_to_numpy(t) for t in g.initializer}
+
+    out = GraphProto(name=g.name + "_int8", input=list(g.input),
+                     output=list(g.output))
+    new_inits: dict[str, np.ndarray] = {}
+    nodes: list = []
+    counter = [0]
+
+    def fresh(prefix: str) -> str:
+        counter[0] += 1
+        return f"{prefix}__{counter[0]}"
+
+    def add_init(name: str, arr: np.ndarray) -> str:
+        new_inits[name] = arr
+        return name
+
+    # f32 tensor name -> (quantized name, QParam)
+    qmap: dict[str, tuple[str, QParam]] = {}
+    # tensors available in f32 domain (graph inputs + dequantized + f32 ops)
+    graph_inputs = {vi.name for vi in g.input if vi.name not in inits}
+
+    # single-consumer map for Relu folding
+    consumers: dict[str, list] = {}
+    for n in g.node:
+        for i in n.input:
+            consumers.setdefault(i, []).append(n)
+
+    def ensure_q(name: str) -> tuple[str, QParam]:
+        """Quantized version of activation `name` (insert QuantizeLinear)."""
+        if name in qmap:
+            return qmap[name]
+        qp = _qparam(*ranges[name])
+        qname = fresh(name + "_q")
+        s = add_init(qname + "_scale", np.float32(qp.scale))
+        z = add_init(qname + "_zp", np.uint8(qp.zero_point))
+        nodes.append(make_node("QuantizeLinear", [name, s, z], [qname],
+                               name=fresh("quant")))
+        qmap[name] = (qname, qp)
+        return qmap[name]
+
+    def ensure_f32(name: str) -> str:
+        """f32 version of a tensor that currently exists only quantized."""
+        if name in f32_avail:
+            return name
+        qname, qp = qmap[name]
+        dq = name + "_dq"
+        if dq in f32_avail:
+            return dq
+        s = add_init(dq + "_scale", np.float32(qp.scale))
+        z = add_init(dq + "_zp", np.uint8(qp.zero_point))
+        nodes.append(make_node("DequantizeLinear", [qname, s, z], [dq],
+                               name=fresh("dequant")))
+        f32_avail.add(dq)
+        f32_rename[name] = dq
+        return dq
+
+    f32_avail: set[str] = set(graph_inputs)
+    f32_rename: dict[str, str] = {}
+    node_list = list(g.node)
+    node_index = {id(n): i for i, n in enumerate(node_list)}
+    skip: set[int] = set()
+
+    def relu_fold_target(node) -> tuple[str, object | None]:
+        """If node's single consumer is Relu, fold it: return (range-source
+        output name, the relu node); else (node output, None)."""
+        outn = node.output[0]
+        cs = consumers.get(outn, [])
+        if len(cs) == 1 and cs[0].op_type == "Relu":
+            return cs[0].output[0], cs[0]
+        return outn, None
+
+    for idx, node in enumerate(node_list):
+        if idx in skip:
+            continue
+        op = node.op_type
+
+        if op == "Conv" and node.input[1] in inits:
+            x = node.input[0]
+            w = inits[node.input[1]]
+            b = inits.get(node.input[2]) if len(node.input) > 2 and \
+                node.input[2] else None
+            xq, xp = ensure_q(x)
+            # weights: symmetric per-channel s8
+            absmax = np.abs(w).reshape(w.shape[0], -1).max(axis=1)
+            w_scale = np.maximum(absmax / 127.0, 1e-12).astype(np.float32)
+            wq = np.clip(np.rint(w / w_scale.reshape(-1, 1, 1, 1)),
+                         -127, 127).astype(np.int8)
+            range_src, relu = relu_fold_target(node)
+            yp = _qparam(*ranges[range_src])
+            yname = range_src
+            qy = fresh(yname + "_q")
+            ins = [xq,
+                   add_init(qy + "_xs", np.float32(xp.scale)),
+                   add_init(qy + "_xz", np.uint8(xp.zero_point)),
+                   add_init(fresh(node.input[1] + "_q"), wq),
+                   add_init(qy + "_ws", w_scale),
+                   add_init(qy + "_wz", np.zeros(w.shape[0], np.int8)),
+                   add_init(qy + "_ys", np.float32(yp.scale)),
+                   add_init(qy + "_yz", np.uint8(yp.zero_point))]
+            if b is not None:
+                bq = np.rint(b / (xp.scale * w_scale)).astype(np.int32)
+                ins.append(add_init(fresh(yname + "_bq"), bq))
+            nodes.append(make_node("QLinearConv", ins, [qy],
+                                   name=fresh("qconv"), **node.attrs()))
+            qmap[yname] = (qy, yp)
+            if relu is not None:
+                skip.add(node_index[id(relu)])
+            continue
+
+        if op == "Add" and all(i in ranges for i in node.input):
+            aq, ap = ensure_q(node.input[0])
+            bq2, bp = ensure_q(node.input[1])
+            range_src, relu = relu_fold_target(node)
+            yp = _qparam(*ranges[range_src])
+            qy = fresh(range_src + "_q")
+            ins = [aq, add_init(qy + "_as", np.float32(ap.scale)),
+                   add_init(qy + "_az", np.uint8(ap.zero_point)),
+                   bq2, add_init(qy + "_bs", np.float32(bp.scale)),
+                   add_init(qy + "_bz", np.uint8(bp.zero_point)),
+                   add_init(qy + "_ys", np.float32(yp.scale)),
+                   add_init(qy + "_yz", np.uint8(yp.zero_point))]
+            nodes.append(make_node("QLinearAdd", ins, [qy],
+                                   name=fresh("qadd"), domain="com.microsoft"))
+            qmap[range_src] = (qy, yp)
+            if relu is not None:
+                skip.add(node_index[id(relu)])
+            continue
+
+        if op in _Q_PASSTHROUGH and (node.input[0] in qmap
+                                     or node.input[0] in ranges):
+            xq, xp = ensure_q(node.input[0])
+            qy = fresh(node.output[0] + "_q")
+            nodes.append(make_node(op, [xq], [qy], name=fresh("qpool"),
+                                   **node.attrs()))
+            qmap[node.output[0]] = (qy, xp)  # same scale/zp
+            continue
+
+        if op == "Relu" and node.input[0] in qmap \
+                and qmap[node.input[0]][1].zero_point == 0:
+            # producer's range was already non-negative (post-relu fold or
+            # relu'd upstream): relu is the identity in this u8 encoding
+            qmap[node.output[0]] = qmap[node.input[0]]
+            continue
+
+        # fallback: run the node in f32 (dequantize inputs as needed)
+        new_in = []
+        for i in node.input:
+            if not i or i in inits or i in f32_avail:
+                new_in.append(f32_rename.get(i, i))
+            elif i in qmap:
+                new_in.append(ensure_f32(i))
+            else:
+                new_in.append(f32_rename.get(i, i))
+        nodes.append(make_node(op, new_in, list(node.output),
+                               name=node.name or fresh(op), domain=node.domain,
+                               **node.attrs()))
+        for o in node.output:
+            f32_avail.add(o)
+
+    # graph outputs must be f32
+    for vi in out.output:
+        if vi.name in qmap and vi.name not in f32_avail:
+            qname, qp = qmap[vi.name]
+            s = add_init(vi.name + "_os", np.float32(qp.scale))
+            z = add_init(vi.name + "_oz", np.uint8(qp.zero_point))
+            nodes.append(make_node("DequantizeLinear", [qname, s, z],
+                                   [vi.name], name=fresh("dequant_out")))
+
+    out.node = nodes
+    used: set[str] = set()
+    for n in nodes:
+        used.update(n.input)
+    for name, arr in inits.items():  # keep f32 initializers still referenced
+        if name in used and name not in new_inits:
+            new_inits[name] = arr
+    out.initializer = [numpy_to_tensor(np.asarray(a), nm)
+                       for nm, a in new_inits.items() if nm in used]
+    return make_model(out, opset=opset)

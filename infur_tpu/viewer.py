@@ -1,0 +1,222 @@
+"""Web viewer frontend (the reference's egui GUI, L6, re-imagined headless).
+
+The reference renders frames in an eframe window with live fps/drop stats,
+a pause checkbox, a scale slider, video/model text inputs, per-stage status
+lines and a fading error history (reference infur/src/gui.rs).  This
+environment has no display, so the frontend is a tiny stdlib HTTP server +
+single-page UI speaking to the *same* proc-loop channels:
+
+    GET  /            the UI (vanilla HTML/JS, no dependencies)
+    GET  /frame.png   latest composited frame (or raw frame w/o model)
+    GET  /state       JSON: fps stats, per-stage status, app info, errors
+    POST /cmd         {"scale": f} | {"paused": b} | {"video": [..]} |
+                      {"model": s} | {"exit": true}
+
+Commands map 1:1 to AppCmds (widget change -> command, gui.rs:258-294);
+frame polling replaces the 30 ms recv_timeout texture upload
+(gui.rs:169-192); the error history keeps the last 8 fatal errors
+(gui.rs:308-313).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from collections import deque
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from infur_tpu.app import AppInfo, Exit, GUIFrame, ModelCmd, ScaleCmd
+from infur_tpu.errors import InfurError
+from infur_tpu.processing import Pause, Play, Stop
+from infur_tpu.runtime.loop import ProcHandle, start_proc
+from infur_tpu.runtime.metrics import FrameCounter
+
+_PAGE = """<!doctype html><html><head><title>infur-tpu</title><style>
+body{font-family:system-ui;margin:1rem;background:#14161a;color:#dde}
+img{max-width:100%;border:1px solid #333}
+.row{margin:.4rem 0}.err{color:#f88}.stage{color:#8bc}
+input[type=text]{width:24rem;background:#222;color:#dde;border:1px solid #444}
+</style></head><body>
+<h3>infur-tpu</h3>
+<img id=frame src=/frame.png>
+<div class=row><label><input type=checkbox id=paused> pause</label>
+ <label>scale <input type=range id=scale min=0.1 max=1.0 step=0.01>
+ <span id=scaleval></span></label></div>
+<div class=row><input type=text id=video placeholder="video input">
+ <button onclick="cmd({video:[document.getElementById('video').value]})">play</button></div>
+<div class=row><input type=text id=model placeholder="model (.onnx | fcn_resnet50)">
+ <button onclick="cmd({model:document.getElementById('model').value})">load</button></div>
+<div class=row id=stats></div><div class=row id=status></div>
+<div class=row id=errors></div>
+<script>
+async function cmd(c){await fetch('/cmd',{method:'POST',body:JSON.stringify(c)})}
+document.getElementById('paused').onchange=e=>cmd({paused:e.target.checked});
+document.getElementById('scale').oninput=e=>{
+  document.getElementById('scaleval').textContent=e.target.value};
+document.getElementById('scale').onchange=e=>cmd({scale:+e.target.value});
+setInterval(()=>{document.getElementById('frame').src='/frame.png?'+Date.now()},100);
+setInterval(async()=>{const s=await(await fetch('/state')).json();
+  document.getElementById('stats').textContent=
+    `shown ${s.shown_fps.toFixed(1)} fps · recv ${s.received_fps.toFixed(1)} · drops ${s.drops.toFixed(1)}`;
+  document.getElementById('status').innerHTML=Object.entries(s.stages)
+    .map(([k,v])=>`<span class=stage>${k}</span>: ${v}`).join(' · ');
+  document.getElementById('errors').innerHTML=
+    s.errors.map(e=>`<div class=err>${e}</div>`).join('');},500);
+</script></body></html>"""
+
+
+class ViewerState:
+    """Shared state between the frame-pump thread and HTTP handlers."""
+
+    def __init__(self, handle: ProcHandle):
+        self.handle = handle
+        self.lock = threading.Lock()
+        self.png: bytes = b""
+        self.counter = FrameCounter()
+        self.stages: dict[str, str] = {}
+        self.errors: deque[str] = deque(maxlen=8)  # fading history (gui.rs:308)
+        self.info: AppInfo | None = None
+        self.running = True
+
+    def pump(self) -> None:
+        """Consume the frame channel (the GUI-thread role, gui.rs:169-192)."""
+        from PIL import Image
+        while self.running:
+            try:
+                r = self.handle.frame_rx.get(timeout=0.03)
+            except queue.Empty:
+                self._drain_ctrl()
+                continue
+            if isinstance(r, InfurError):
+                with self.lock:
+                    self.stages[r.stage] = str(r)
+                    self.errors.appendleft(f"{time.strftime('%H:%M:%S')} {r}")
+                continue
+            frame: GUIFrame = r
+            img = frame.composited if frame.composited is not None else frame.buffer
+            buf = io.BytesIO()
+            Image.fromarray(np.asarray(img), "RGBA").save(buf, "PNG")
+            with self.lock:
+                self.png = buf.getvalue()
+                self.counter.count(frame.id)
+                self.stages.pop("video", None)
+            self._drain_ctrl()
+
+    def _drain_ctrl(self) -> None:
+        while True:
+            try:
+                r = self.handle.ctrl_result_rx.get_nowait()
+            except queue.Empty:
+                return
+            with self.lock:
+                if isinstance(r, InfurError):
+                    self.stages[r.stage] = str(r)
+                    self.errors.appendleft(f"{time.strftime('%H:%M:%S')} {r}")
+                elif isinstance(r, AppInfo):
+                    self.info = r
+
+    def state_json(self) -> bytes:
+        with self.lock:
+            stats = self.counter.stats()
+            info = self.info
+            return json.dumps({
+                "shown_fps": stats.shown_fps if stats else 0.0,
+                "received_fps": stats.received_fps if stats else 0.0,
+                "drops": stats.drops if stats else 0.0,
+                "stages": dict(self.stages),
+                "errors": list(self.errors),
+                "info": None if info is None else {
+                    "scale": info.scale, "playing": info.playing,
+                    "paused": info.paused,
+                    "model": info.model.spec if info.model else None,
+                    "geometry": info.geometry},
+            }).encode()
+
+    def apply_cmd(self, c: dict) -> None:
+        if "scale" in c:
+            self.handle.send(ScaleCmd(float(c["scale"])))
+        if "paused" in c:
+            self.handle.send(Pause(bool(c["paused"])))
+        if "video" in c:
+            self.handle.send(Play([str(v) for v in c["video"]]))
+        if "model" in c:
+            self.handle.send(ModelCmd(str(c["model"])))
+        if c.get("stop"):
+            self.handle.send(Stop())
+        if c.get("exit"):
+            self.running = False
+
+
+def make_handler(state: ViewerState):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Cache-Control", "no-store")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            path = self.path.split("?")[0]
+            if path == "/":
+                self._send(200, _PAGE.encode(), "text/html")
+            elif path == "/frame.png":
+                with state.lock:
+                    png = state.png
+                if png:
+                    self._send(200, png, "image/png")
+                else:
+                    self._send(404, b"no frame yet", "text/plain")
+            elif path == "/state":
+                self._send(200, state.state_json(), "application/json")
+            else:
+                self._send(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            if self.path != "/cmd":
+                self._send(404, b"not found", "text/plain")
+                return
+            n = int(self.headers.get("Content-Length", 0))
+            try:
+                cmd = json.loads(self.rfile.read(n) or b"{}")
+                state.apply_cmd(cmd)
+                self._send(200, b"ok", "text/plain")
+            except (ValueError, KeyError) as e:
+                self._send(400, f"bad command: {e}".encode(), "text/plain")
+
+    return Handler
+
+
+def serve(host: str = "127.0.0.1", port: int = 8793,
+          config=None, ready_event: threading.Event | None = None,
+          handle: ProcHandle | None = None) -> None:
+    """Run the viewer until /cmd {"exit": true} (close handshake:
+    Stop+Exit to the proc thread, then join — gui.rs:336-347)."""
+    handle = handle or start_proc()
+    if config is not None:
+        for cmd in config.commands():
+            handle.send(cmd)
+    state = ViewerState(handle)
+    pump = threading.Thread(target=state.pump, name="viewer-pump", daemon=True)
+    pump.start()
+    server = ThreadingHTTPServer((host, port), make_handler(state))
+    if ready_event is not None:
+        ready_event.set()
+    server.timeout = 0.2
+    try:
+        while state.running:
+            server.handle_request()
+    finally:
+        server.server_close()
+        state.running = False
+        handle.stop()
+        pump.join(timeout=2)

@@ -1,0 +1,129 @@
+"""Static int8 quantization: BN folding, calibration, QLinear rewrite.
+
+Mirrors the reference's flagship-model situation (an ort-statically-
+quantized FCN-ResNet50): here the framework *produces* the int8 model and
+then runs it through both executors (NumPy oracle, JAX importer) —
+integer semantics must agree exactly, and the int8 masks must track f32.
+"""
+
+import numpy as np
+import pytest
+
+from infur_tpu.onnx import GraphBuilder, import_model, run_model
+from infur_tpu.onnx.passes import fold_batchnorm
+from infur_tpu.onnx.quantize import calibrate, quantize_static
+
+
+def mini_convnet(rng, with_bn=True):
+    """Conv-BN-Relu x2 with a residual Add, MaxPool head — the structural
+    motifs of the FCN backbone at toy size."""
+    g = GraphBuilder("mini")
+    x = g.input("x", np.float32, (1, 3, 16, 16))
+    w1 = g.init("w1", rng.normal(size=(8, 3, 3, 3)).astype(np.float32) * 0.3)
+    y = g.node("Conv", [x, w1], pads=[1, 1, 1, 1])
+    if with_bn:
+        y = g.node("BatchNormalization", [
+            y, g.init("s1", rng.uniform(0.5, 2, 8).astype(np.float32)),
+            g.init("b1", rng.normal(size=8).astype(np.float32)),
+            g.init("m1", rng.normal(size=8).astype(np.float32) * 0.1),
+            g.init("v1", rng.uniform(0.5, 2, 8).astype(np.float32))],
+            epsilon=1e-5)
+    y = g.node("Relu", [y])
+    skip = y
+    w2 = g.init("w2", rng.normal(size=(8, 8, 3, 3)).astype(np.float32) * 0.2)
+    b2 = g.init("b2", rng.normal(size=8).astype(np.float32) * 0.1)
+    y = g.node("Conv", [y, w2, b2], pads=[1, 1, 1, 1])
+    y = g.node("Relu", [y])
+    y = g.node("Add", [y, skip])
+    y = g.node("MaxPool", [y], kernel_shape=[2, 2], strides=[2, 2])
+    g.output(y, np.float32, (1, 8, 8, 8))
+    return g.model()
+
+
+@pytest.fixture()
+def feeds(rng):
+    return [{"x": rng.normal(size=(1, 3, 16, 16)).astype(np.float32)}
+            for _ in range(4)]
+
+
+def test_fold_batchnorm_preserves_outputs(rng, feeds):
+    model = mini_convnet(rng)
+    folded = fold_batchnorm(model)
+    assert not any(n.op_type == "BatchNormalization" for n in folded.graph.node)
+    for f in feeds[:2]:
+        a = run_model(model, f)
+        b = run_model(folded, f)
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=1e-4, atol=1e-5)
+
+
+def test_calibrate_covers_all_activations(rng, feeds):
+    model = fold_batchnorm(mini_convnet(rng))
+    ranges = calibrate(model, feeds)
+    assert "x" in ranges
+    for n in model.graph.node:
+        for o in n.output:
+            assert o in ranges, f"missing range for {o}"
+    for lo, hi in ranges.values():
+        assert lo <= hi
+
+
+def test_quantized_graph_structure(rng, feeds):
+    q = quantize_static(fold_batchnorm(mini_convnet(rng)), feeds)
+    ops = [n.op_type for n in q.graph.node]
+    assert ops.count("QLinearConv") == 2
+    assert "QLinearAdd" in ops
+    assert "Conv" not in ops and "Add" not in ops and "Relu" not in ops
+    assert ops.count("QuantizeLinear") >= 1      # graph entry
+    assert ops.count("DequantizeLinear") >= 1    # graph exit
+    # weights are stored s8
+    from infur_tpu.onnx.proto import tensor_to_numpy
+    s8_kernels = [t for t in q.graph.initializer
+                  if tensor_to_numpy(t).dtype == np.int8
+                  and tensor_to_numpy(t).ndim == 4]
+    assert len(s8_kernels) == 2
+
+
+def test_int8_oracle_importer_exact_agreement(rng, feeds):
+    q = quantize_static(fold_batchnorm(mini_convnet(rng)), feeds)
+    imported = import_model(q)
+    f = feeds[0]
+    a = run_model(q, f)
+    b = imported(f)
+    for k in a:
+        mismatch = (a[k] != np.asarray(b[k])).mean()
+        assert mismatch < 0.005, f"{k}: {mismatch:.4f} of elements differ"
+
+
+def test_int8_tracks_f32(rng, feeds):
+    model = fold_batchnorm(mini_convnet(rng))
+    q = quantize_static(model, feeds)
+    f = feeds[0]
+    y32 = next(iter(run_model(model, f).values()))
+    y8 = next(iter(run_model(q, f).values()))
+    err = np.abs(y32 - y8).mean() / (np.abs(y32).mean() + 1e-9)
+    assert err < 0.1, f"relative int8 error too large: {err:.3f}"
+
+
+def test_fcn_resnet50_int8_end_to_end(rng):
+    """The flagship path at reduced size: export native FCN -> fold BN ->
+    quantize -> run int8 via the importer -> masks track f32."""
+    import jax
+
+    from infur_tpu.models import fcn_resnet50_to_onnx, init_fcn_resnet50
+
+    params = init_fcn_resnet50(jax.random.PRNGKey(0))
+    model = fcn_resnet50_to_onnx(params, (32, 32))
+    folded = fold_batchnorm(model)
+    assert not any(n.op_type == "BatchNormalization"
+                   for n in folded.graph.node)
+    feeds = [{"input": rng.normal(size=(1, 3, 32, 32)).astype(np.float32)}
+             for _ in range(2)]
+    q = quantize_static(folded, feeds)
+    assert sum(n.op_type == "QLinearConv" for n in q.graph.node) == 57
+    imported = import_model(q)
+    out8 = np.asarray(imported(feeds[0])["out"])
+    out32 = run_model(folded, feeds[0])["out"]
+    m8, m32 = out8.argmax(1), out32.argmax(1)
+    agreement = (m8 == m32).mean()
+    assert agreement > 0.85, f"int8 mask agreement {agreement:.3f}"

@@ -1,0 +1,90 @@
+"""Web viewer frontend: endpoints, command routing, close handshake."""
+
+import json
+import threading
+import time
+import urllib.request
+
+import pytest
+
+from infur_tpu.runtime.config import ProcConfig
+from infur_tpu.viewer import serve
+
+
+@pytest.fixture()
+def viewer_url():
+    cfg = ProcConfig(video_input=["synth:64x48@30:10"], scale=1.0)
+    ready = threading.Event()
+    port = 18793
+    t = threading.Thread(target=serve,
+                         args=("127.0.0.1", port),
+                         kwargs={"config": cfg, "ready_event": ready},
+                         daemon=True)
+    t.start()
+    assert ready.wait(10)
+    url = f"http://127.0.0.1:{port}"
+    yield url
+    try:
+        _post(url, {"exit": True})
+    except OSError:
+        pass
+    t.join(timeout=10)
+    assert not t.is_alive()
+
+
+def _get(url: str, path: str) -> bytes:
+    with urllib.request.urlopen(url + path, timeout=5) as r:
+        return r.read()
+
+
+def _post(url: str, cmd: dict) -> None:
+    req = urllib.request.Request(url + "/cmd", data=json.dumps(cmd).encode(),
+                                 method="POST")
+    urllib.request.urlopen(req, timeout=5).read()
+
+
+def test_page_and_state(viewer_url):
+    page = _get(viewer_url, "/")
+    assert b"infur-tpu" in page
+    state = json.loads(_get(viewer_url, "/state"))
+    assert set(state) >= {"shown_fps", "stages", "errors", "info"}
+
+
+def test_frame_updates_and_commands(viewer_url):
+    deadline = time.time() + 10
+    png = b""
+    while time.time() < deadline:
+        try:
+            png = _get(viewer_url, "/frame.png")
+            break
+        except urllib.error.HTTPError:
+            time.sleep(0.1)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+    _post(viewer_url, {"paused": True})
+    _post(viewer_url, {"scale": 0.5})
+    time.sleep(0.5)
+    state = json.loads(_get(viewer_url, "/state"))
+    assert state["info"]["paused"] is True
+    assert state["info"]["scale"] == 0.5
+
+
+def test_bad_command_is_400(viewer_url):
+    import urllib.error
+    req = urllib.request.Request(viewer_url + "/cmd", data=b"{not json",
+                                 method="POST")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=5)
+    assert ei.value.code == 400
+
+
+def test_command_error_routed_to_errors(viewer_url):
+    _post(viewer_url, {"model": "bogus_family"})
+    deadline = time.time() + 5
+    while time.time() < deadline:
+        state = json.loads(_get(viewer_url, "/state"))
+        if state["errors"]:
+            break
+        time.sleep(0.1)
+    assert any("bogus_family" in e for e in state["errors"])
+    assert "model" in state["stages"]
