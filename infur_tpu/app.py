@@ -83,6 +83,7 @@ class AppInfo:
     playing: bool
     paused: bool
     geometry: tuple[int, int, float] | None
+    timings_ms: dict[str, float] | None = None
 
 
 @jax.jit
@@ -103,6 +104,8 @@ class ProcessingApp(Processor[AppCmd, None, "GUIFrame | None"]):
         self.scaled: Cell[Frame] = Cell()
         self.pred: Cell[Prediction] = Cell()
         self.to_exit = False
+        from infur_tpu.runtime.trace import StageTimers
+        self.timers = StageTimers()
 
     # -- control: demux to children (app.rs:91-105) --
     def control(self, cmd: AppCmd) -> "ProcessingApp":
@@ -121,7 +124,8 @@ class ProcessingApp(Processor[AppCmd, None, "GUIFrame | None"]):
     def info(self) -> AppInfo:
         return AppInfo(model=self.model.info(), scale=float(self.scale.factor),
                        playing=self.vid.geometry is not None,
-                       paused=self.vid.paused, geometry=self.vid.geometry)
+                       paused=self.vid.paused, geometry=self.vid.geometry,
+                       timings_ms=self.timers.snapshot())
 
     def is_dirty(self) -> bool:
         return self.vid.is_dirty() or self.scale.is_dirty()
@@ -131,13 +135,15 @@ class ProcessingApp(Processor[AppCmd, None, "GUIFrame | None"]):
         out.value = None
         scale_was_dirty = self.scale.is_dirty()
 
-        got_new_frame = self.vid.advance(None, self.frame)
+        with self.timers.stage("video"):
+            got_new_frame = self.vid.advance(None, self.frame)
         frame = self.frame.value
         if frame is None:
             return
 
         if got_new_frame or scale_was_dirty or self.scaled.value is None:
-            self.scale.advance(frame, self.scaled)
+            with self.timers.stage("scale"):
+                self.scale.advance(frame, self.scaled)
         scaled = self.scaled.value
         if scaled is None:
             return
@@ -147,7 +153,8 @@ class ProcessingApp(Processor[AppCmd, None, "GUIFrame | None"]):
                                and self.pred.value is not None
                                and self.pred.value.frame_id != scaled.id))
         if self.model.loaded and recompute_model:
-            self.model.advance(scaled, self.pred)
+            with self.timers.stage("model"):
+                self.model.advance(scaled, self.pred)
         elif not self.model.loaded:
             self.pred.value = None
 
@@ -161,15 +168,17 @@ class ProcessingApp(Processor[AppCmd, None, "GUIFrame | None"]):
         if pred is not None and pred.primary is not None:
             scores = pred.primary
             from infur_tpu.ops import on_tpu
-            if on_tpu():  # fused Pallas postprocess on real hardware
-                from infur_tpu.ops.colorcode import _DEFAULT_PALETTE
-                from infur_tpu.ops.pallas_colorcode import color_code_pallas
-                from infur_tpu.ops.pallas_overlay import overlay_pallas
-                decoded = color_code_pallas(scores, jnp.asarray(_DEFAULT_PALETTE))
-                composited = overlay_pallas(scaled_dev, scores)
-            else:
-                decoded = color_code(scores)
-                composited = overlay(scaled_dev, scores)
+            with self.timers.stage("decode"):
+                if on_tpu():  # fused Pallas postprocess on real hardware
+                    from infur_tpu.ops.colorcode import _DEFAULT_PALETTE
+                    from infur_tpu.ops.pallas_colorcode import color_code_pallas
+                    from infur_tpu.ops.pallas_overlay import overlay_pallas
+                    decoded = color_code_pallas(scores,
+                                                jnp.asarray(_DEFAULT_PALETTE))
+                    composited = overlay_pallas(scaled_dev, scores)
+                else:
+                    decoded = color_code(scores)
+                    composited = overlay(scaled_dev, scores)
         out.value = GUIFrame(id=scaled.id, buffer=buffer,
                              decoded=decoded, composited=composited)
 

@@ -104,9 +104,11 @@ def _drain_ctrl(handle, args) -> None:
             print(f"[{r.stage}] {r}", file=sys.stderr)
         elif isinstance(r, AppInfo) and args.stats:
             geo = r.geometry
+            t = " ".join(f"{k}={v:.1f}ms"
+                         for k, v in (r.timings_ms or {}).items())
             print(f"state: playing={r.playing} paused={r.paused} "
                   f"scale={r.scale} geo={geo} "
-                  f"model={r.model.spec if r.model else None}", flush=True)
+                  f"model={r.model.spec if r.model else None} {t}", flush=True)
 
 
 def cmd_info(args: argparse.Namespace) -> int:

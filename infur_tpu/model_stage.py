@@ -143,6 +143,34 @@ class _NativeFcnBackend:
         return self._apply(self.params, x, compute_dtype=self.compute_dtype)
 
 
+class _NativeSegformerBackend:
+    """Native family: "segformer[:b0|b1|b2][:bf16][@ckpt.npz]"."""
+
+    def __init__(self, spec: str):
+        from infur_tpu.models import init_segformer, segformer_apply
+        body, _, ckpt = spec.partition("@")
+        opts = body.split(":")[1:]
+        variant = next((o for o in opts if o in ("b0", "b1", "b2")), "b0")
+        self.compute_dtype = "bfloat16" if "bf16" in opts else "float32"
+        if ckpt:
+            from infur_tpu.runtime.checkpoint import load_params
+            self.params = load_params(ckpt)
+        else:
+            self.params = init_segformer(jax.random.PRNGKey(0),
+                                         variant=variant)
+        self._apply = segformer_apply
+        self.dims = (1, None, None, 3)
+        self.np_dtype = np.dtype(np.float32)
+        self.output_names = ("out",)
+
+    def preproc(self, out_hw: tuple[int, int]) -> PreProc:
+        return PreProc.imagenet(out_hw, layout="NHWC", channel_order="rgb",
+                                compute_dtype=self.compute_dtype)
+
+    def __call__(self, x: jax.Array) -> dict[str, jax.Array]:
+        return self._apply(self.params, x, compute_dtype=self.compute_dtype)
+
+
 def _open_backend(spec: str):
     if spec.endswith(".onnx"):
         try:
@@ -152,6 +180,8 @@ def _open_backend(spec: str):
     family = spec.split(":")[0].split("@")[0]
     if family == "fcn_resnet50":
         return _NativeFcnBackend(spec)
+    if family == "segformer":
+        return _NativeSegformerBackend(spec)
     raise ModelLoadError(
         f"unknown model spec {spec!r} (expected *.onnx or a native family)")
 

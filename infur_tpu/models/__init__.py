@@ -18,3 +18,4 @@ download is possible here) and pins down native<->imported parity.
 from infur_tpu.models.fcn_resnet50 import (  # noqa: F401
     fcn_resnet50_apply, fcn_resnet50_to_onnx, init_fcn_resnet50,
 )
+from infur_tpu.models.segformer import init_segformer, segformer_apply  # noqa: F401

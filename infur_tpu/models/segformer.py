@@ -1,0 +1,208 @@
+"""SegFormer (MiT-B0..B2) semantic segmentation, TPU-native.
+
+The stretch model family (SURVEY §5.7): a hierarchical transformer encoder
+(overlapped patch embeddings, efficient self-attention with spatial
+reduction, Mix-FFN with a depthwise 3x3) and the all-MLP decode head.
+Matches the NVlabs/SegFormer architecture; sizes b0/b1/b2 supported.
+
+TPU design notes:
+
+* channels-last everywhere; attention is plain jnp einsum -> XLA tiles the
+  (N, heads, L, d) batched matmuls onto the MXU, and the spatial-reduction
+  conv keeps K/V length = L/sr^2 so stage-1 attention stays MXU-friendly;
+* bfloat16 compute / f32 params, same convention as FCN-ResNet50;
+* output contract matches the reference model family: logits upsampled to
+  input resolution, NCHW (N, K, H, W) f32.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+CONFIGS = {
+    "b0": dict(dims=(32, 64, 160, 256), depths=(2, 2, 2, 2), dec_dim=256),
+    "b1": dict(dims=(64, 128, 320, 512), depths=(2, 2, 2, 2), dec_dim=256),
+    "b2": dict(dims=(64, 128, 320, 512), depths=(3, 4, 6, 3), dec_dim=768),
+}
+HEADS = (1, 2, 5, 8)
+SR = (8, 4, 2, 1)
+PATCH = ((7, 4), (3, 2), (3, 2), (3, 2))  # (kernel, stride) per stage
+
+
+def _dense_init(key, din, dout):
+    lim = float(np.sqrt(6.0 / (din + dout)))
+    return jax.random.uniform(key, (din, dout), jnp.float32, -lim, lim)
+
+
+def _conv_init(key, kh, kw, cin, cout):
+    fan_out = kh * kw * cout
+    return jax.random.normal(key, (kh, kw, cin, cout), jnp.float32) \
+        * float(np.sqrt(2.0 / fan_out))
+
+
+def _ln_init(c):
+    return {"scale": jnp.ones((c,), jnp.float32),
+            "bias": jnp.zeros((c,), jnp.float32)}
+
+
+def init_segformer(key: jax.Array, num_classes: int = 21,
+                   variant: str = "b0") -> dict[str, Any]:
+    cfg = CONFIGS[variant]
+    dims, depths, dec = cfg["dims"], cfg["depths"], cfg["dec_dim"]
+    keys = iter(jax.random.split(key, 256))
+    params: dict[str, Any] = {}  # variant is positional, not a pytree leaf
+    cin = 3
+    for s in range(4):
+        k, stride = PATCH[s]
+        d = dims[s]
+        stage: dict[str, Any] = {
+            "patch_conv": _conv_init(next(keys), k, k, cin, d),
+            "patch_bias": jnp.zeros((d,), jnp.float32),
+            "patch_ln": _ln_init(d),
+            "blocks": [],
+            "out_ln": _ln_init(d),
+        }
+        for _ in range(depths[s]):
+            blk = {
+                "ln1": _ln_init(d),
+                "q": _dense_init(next(keys), d, d),
+                "kv": _dense_init(next(keys), d, 2 * d),
+                "proj": _dense_init(next(keys), d, d),
+                "q_b": jnp.zeros((d,), jnp.float32),
+                "kv_b": jnp.zeros((2 * d,), jnp.float32),
+                "proj_b": jnp.zeros((d,), jnp.float32),
+                "ln2": _ln_init(d),
+                "fc1": _dense_init(next(keys), d, 4 * d),
+                "fc1_b": jnp.zeros((4 * d,), jnp.float32),
+                "dw": _conv_init(next(keys), 3, 3, 1, 4 * d),  # depthwise
+                "dw_b": jnp.zeros((4 * d,), jnp.float32),
+                "fc2": _dense_init(next(keys), 4 * d, d),
+                "fc2_b": jnp.zeros((d,), jnp.float32),
+            }
+            if SR[s] > 1:
+                blk["sr_conv"] = _conv_init(next(keys), SR[s], SR[s], d, d)
+                blk["sr_bias"] = jnp.zeros((d,), jnp.float32)
+                blk["sr_ln"] = _ln_init(d)
+            stage["blocks"].append(blk)
+        params[f"stage{s + 1}"] = stage
+        cin = d
+    params["head"] = {
+        "lin": [_dense_init(next(keys), dims[s], dec) for s in range(4)],
+        "lin_b": [jnp.zeros((dec,), jnp.float32) for _ in range(4)],
+        "fuse": _conv_init(next(keys), 1, 1, 4 * dec, dec),
+        "fuse_bn": {"scale": jnp.ones((dec,), jnp.float32),
+                    "bias": jnp.zeros((dec,), jnp.float32),
+                    "mean": jnp.zeros((dec,), jnp.float32),
+                    "var": jnp.ones((dec,), jnp.float32)},
+        "cls": _conv_init(next(keys), 1, 1, dec, num_classes),
+        "cls_b": jnp.zeros((num_classes,), jnp.float32),
+    }
+    return params
+
+
+def _ln(x, p, eps=1e-6):
+    mean = x.mean(-1, keepdims=True)
+    var = x.var(-1, keepdims=True)
+    return (x - mean) * lax.rsqrt(var + eps) * p["scale"].astype(x.dtype) \
+        + p["bias"].astype(x.dtype)
+
+
+def _conv(x, w, stride=1, groups=1, pad="SAME"):
+    return lax.conv_general_dilated(
+        x, w.astype(x.dtype), (stride, stride), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+
+
+def _attn(x_nhwc, blk, heads, sr):
+    n, h, w, d = x_nhwc.shape
+    dh = d // heads
+    q = (x_nhwc.reshape(n, h * w, d) @ blk["q"].astype(x_nhwc.dtype)
+         + blk["q_b"].astype(x_nhwc.dtype))
+    kv_src = x_nhwc
+    if sr > 1:
+        kv_src = _conv(x_nhwc, blk["sr_conv"], stride=sr) \
+            + blk["sr_bias"].astype(x_nhwc.dtype)
+        kv_src = _ln(kv_src, blk["sr_ln"])
+    l2 = kv_src.shape[1] * kv_src.shape[2]
+    kv = (kv_src.reshape(n, l2, d) @ blk["kv"].astype(x_nhwc.dtype)
+          + blk["kv_b"].astype(x_nhwc.dtype))
+    k, v = jnp.split(kv, 2, axis=-1)
+    qh = q.reshape(n, h * w, heads, dh).transpose(0, 2, 1, 3)
+    kh = k.reshape(n, l2, heads, dh).transpose(0, 2, 1, 3)
+    vh = v.reshape(n, l2, heads, dh).transpose(0, 2, 1, 3)
+    scores = jnp.einsum("nhld,nhmd->nhlm", qh, kh) / np.sqrt(dh)
+    att = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(qh.dtype)
+    out = jnp.einsum("nhlm,nhmd->nhld", att, vh)
+    out = out.transpose(0, 2, 1, 3).reshape(n, h * w, d)
+    out = out @ blk["proj"].astype(out.dtype) + blk["proj_b"].astype(out.dtype)
+    return out.reshape(n, h, w, d)
+
+
+def _mixffn(x_nhwc, blk):
+    n, h, w, d = x_nhwc.shape
+    y = x_nhwc @ blk["fc1"].astype(x_nhwc.dtype) + blk["fc1_b"].astype(x_nhwc.dtype)
+    y = _conv(y, blk["dw"], groups=y.shape[-1]) + blk["dw_b"].astype(y.dtype)
+    y = jax.nn.gelu(y)
+    return y @ blk["fc2"].astype(y.dtype) + blk["fc2_b"].astype(y.dtype)
+
+
+@partial(jax.jit, static_argnames=("compute_dtype",))
+def segformer_apply(params: dict[str, Any], x_nhwc: jax.Array,
+                    compute_dtype: str = "float32") -> dict[str, jax.Array]:
+    """(N, H, W, 3) normalized f32 -> {"out": (N, K, H, W) f32}."""
+    with jax.default_matmul_precision(
+            "highest" if compute_dtype == "float32" else "default"):
+        return _segformer_forward(params, x_nhwc, compute_dtype)
+
+
+def _segformer_forward(params, x_nhwc, compute_dtype):
+    n, h0, w0, _ = x_nhwc.shape
+    x = x_nhwc.astype(compute_dtype)
+    feats = []
+    for s in range(4):
+        st = params[f"stage{s + 1}"]
+        k, stride = PATCH[s]
+        pad = (k - 1) // 2
+        x = lax.conv_general_dilated(
+            x, st["patch_conv"].astype(x.dtype), (stride, stride),
+            ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32).astype(x.dtype) \
+            + st["patch_bias"].astype(x.dtype)
+        x = _ln(x, st["patch_ln"])
+        heads, sr = HEADS[s], SR[s]
+        for blk in st["blocks"]:
+            x = x + _attn(_ln(x, blk["ln1"]), blk, heads, sr)
+            x = x + _mixffn(_ln(x, blk["ln2"]), blk)
+        x = _ln(x, st["out_ln"])
+        feats.append(x)
+
+    # all-MLP decode head: project, upsample to 1/4 res, concat, fuse
+    head = params["head"]
+    th, tw = feats[0].shape[1], feats[0].shape[2]
+    ups = []
+    for s, f in enumerate(feats):
+        y = f @ head["lin"][s].astype(f.dtype) + head["lin_b"][s].astype(f.dtype)
+        if y.shape[1] != th or y.shape[2] != tw:
+            y = jax.image.resize(y.astype(jnp.float32),
+                                 (n, th, tw, y.shape[-1]),
+                                 "bilinear").astype(y.dtype)
+        ups.append(y)
+    y = jnp.concatenate(ups[::-1], axis=-1)  # c4..c1 order like the paper
+    y = _conv(y, head["fuse"])
+    bn = head["fuse_bn"]
+    inv = bn["scale"] * lax.rsqrt(bn["var"] + 1e-5)
+    y = jax.nn.relu(y * inv.astype(y.dtype)
+                    + (bn["bias"] - bn["mean"] * inv).astype(y.dtype))
+    y = _conv(y, head["cls"]) + head["cls_b"].astype(y.dtype)
+    y = jax.image.resize(y.astype(jnp.float32), (n, h0, w0, y.shape[-1]),
+                         "bilinear")
+    return {"out": jnp.transpose(y, (0, 3, 1, 2)).astype(jnp.float32)}

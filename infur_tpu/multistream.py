@@ -1,0 +1,134 @@
+"""Multi-stream batched serving: N videos -> ONE batched device step.
+
+The reference processes a single stream; its only concurrency is pipeline
+threads (SURVEY §5.8).  The TPU-native scale-out story is batching: N
+streams' frames stack into one (N, H, W, 3) batch, the model runs once per
+tick (MXU utilization grows with batch), and each stream gets its overlay
+back.  On a multi-chip mesh the batch axis shards over ``data`` — the same
+NamedSharding the training dry-run uses — and XLA turns the step into
+per-chip compute with no cross-chip traffic (inference has no gradient
+reductions).
+
+Streams advance in lockstep (one tick = one frame from every live
+stream); a stream that hits EOF is closed and its slot re-renders the
+last retained frame — the per-stream analog of the single-stream EOF
+semantics (processing.rs:133-135).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from infur_tpu.errors import InfurError, ScaleError
+from infur_tpu.model_stage import _open_backend
+from infur_tpu.ops.preprocess import scale_to_hw
+from infur_tpu.processing import Cell, Frame, VideoPlayer, Play, resize_nearest
+
+
+@dataclass
+class StreamFrame:
+    stream: int
+    id: int
+    rgba: jax.Array  # composited (h, w, 4) u8
+
+
+class MultiStreamApp:
+    """N lockstep streams through one batched model step.
+
+    Commands are method calls (this composite is programmatic — the
+    interactive command protocol stays on the single-stream app):
+    ``play(i, inputs)``, ``set_scale(f)``, ``load_model(spec)``.
+    """
+
+    def __init__(self, n_streams: int, mesh=None):
+        if n_streams < 1:
+            raise InfurError("need at least one stream")
+        self.players = [VideoPlayer() for _ in range(n_streams)]
+        self.cells: list[Cell[Frame]] = [Cell() for _ in range(n_streams)]
+        self.scale = 1.0
+        self._backend = None
+        self.mesh = mesh
+        self._sharding = None
+        self._step_cache: dict = {}
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._sharding = NamedSharding(mesh, P("data"))
+
+    @property
+    def n_streams(self) -> int:
+        return len(self.players)
+
+    def play(self, stream: int, inputs: list[str]) -> None:
+        self.players[stream].control(Play(inputs))
+
+    def set_scale(self, factor: float) -> None:
+        if not (factor > 0):
+            raise ScaleError(f"scale must be positive, got {factor}")
+        self.scale = float(factor)
+
+    def load_model(self, spec: str) -> None:
+        self._backend = _open_backend(spec) if spec else None
+        self._step_cache.clear()
+
+    def _batched_step(self, batch_hw: tuple[int, int]):
+        """Build/cache the jitted batched step for this frame geometry."""
+        cached = self._step_cache.get(batch_hw)
+        if cached is not None:
+            return cached
+        b = self._backend
+        cfg = b.preproc(batch_hw)
+
+        @jax.jit
+        def step(params_free_batch_u8):
+            from infur_tpu.ops.preprocess import preprocess
+            xs = jax.vmap(lambda f: preprocess(f, cfg)[0])(params_free_batch_u8)
+            outs = b(xs)
+            scores = next(iter(outs.values()))  # (N, K, h, w)
+            from infur_tpu.ops.colorcode import overlay
+            rgba = jax.vmap(overlay)(params_free_batch_u8, scores)
+            return rgba
+
+        self._step_cache[batch_hw] = step
+        return step
+
+    def tick(self) -> list[StreamFrame]:
+        """Advance every live stream one frame; one batched device step."""
+        produced: list[tuple[int, Frame]] = []
+        for i, (p, c) in enumerate(zip(self.players, self.cells)):
+            if p.advance(None, c) or c.value is not None:
+                produced.append((i, c.value))
+        if not produced:
+            return []
+
+        # lockstep batching needs one geometry: scale every frame to the
+        # smallest stream's scaled dims (streams usually match)
+        dims = [scale_to_hw(self.scale, f.img.shape[0], f.img.shape[1])
+                for _, f in produced]
+        oh = min(d[0] for d in dims)
+        ow = min(d[1] for d in dims)
+        if oh == 0 or ow == 0:
+            raise ScaleError(f"scaled batch would be empty: {ow}x{oh}")
+        batch = np.stack([
+            f.img if f.img.shape[:2] == (oh, ow)
+            else resize_nearest(f.img, oh, ow)
+            for _, f in produced])
+
+        sharding = self._sharding
+        if sharding is not None and batch.shape[0] % self.mesh.shape["data"]:
+            sharding = None  # ragged final batch: replicate rather than fail
+        dev = jax.device_put(batch, sharding)
+        if self._backend is not None:
+            rgba = self._batched_step((oh, ow))(dev)
+        else:
+            alpha = jnp.full((len(produced), oh, ow, 1), 255, jnp.uint8)
+            rgba = jnp.concatenate([dev[..., ::-1], alpha], axis=-1)
+        return [StreamFrame(stream=i, id=f.id, rgba=rgba[j])
+                for j, (i, f) in enumerate(produced)]
+
+    def close(self) -> None:
+        for p in self.players:
+            p.close()

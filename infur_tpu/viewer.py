@@ -134,7 +134,8 @@ class ViewerState:
                     "scale": info.scale, "playing": info.playing,
                     "paused": info.paused,
                     "model": info.model.spec if info.model else None,
-                    "geometry": info.geometry},
+                    "geometry": info.geometry,
+                    "timings_ms": info.timings_ms},
             }).encode()
 
     def apply_cmd(self, c: dict) -> None:

@@ -1,0 +1,69 @@
+"""Multi-stream batched serving: lockstep ticks, EOF retention, DP sharding."""
+
+import numpy as np
+import pytest
+
+from infur_tpu.errors import ScaleError
+from infur_tpu.multistream import MultiStreamApp
+from infur_tpu.parallel import make_mesh
+
+
+def test_lockstep_tick_and_ids():
+    app = MultiStreamApp(3)
+    for i in range(3):
+        app.play(i, [f"synth:32x24@10:1"])
+    out = app.tick()
+    assert [f.stream for f in out] == [0, 1, 2]
+    assert all(f.id == 1 for f in out)
+    assert np.asarray(out[0].rgba).shape == (24, 32, 4)
+    out2 = app.tick()
+    assert all(f.id == 2 for f in out2)
+    app.close()
+
+
+def test_eof_stream_retains_last_frame():
+    app = MultiStreamApp(2)
+    app.play(0, ["synth:16x16@10:0.2"])  # 2 frames
+    app.play(1, ["synth:16x16@10:1"])    # 10 frames
+    ids = []
+    for _ in range(4):
+        out = app.tick()
+        ids.append({f.stream: f.id for f in out})
+    # stream 0 freezes at its last id, stream 1 keeps advancing
+    assert ids[-1][1] == 4
+    assert ids[-1][0] == 2
+    app.close()
+
+
+def test_mixed_geometry_batches_to_smallest():
+    app = MultiStreamApp(2)
+    app.play(0, ["synth:64x48@10:1"])
+    app.play(1, ["synth:32x24@10:1"])
+    app.set_scale(0.5)
+    out = app.tick()
+    shapes = {np.asarray(f.rgba).shape for f in out}
+    assert shapes == {(12, 16, 4)}  # smallest scaled geometry wins
+    app.close()
+
+
+def test_batched_model_over_data_mesh():
+    mesh = make_mesh(4, model_axis=1)
+    app = MultiStreamApp(4, mesh=mesh)
+    for i in range(4):
+        app.play(i, ["synth:32x24@10:0.5"])
+    app.load_model("fcn_resnet50")
+    out = app.tick()
+    assert len(out) == 4
+    rgba = np.asarray(out[0].rgba)
+    assert rgba.shape == (24, 32, 4)
+    assert (rgba[..., 3] == 255).all()
+    # second tick reuses the compiled step (no recompile pathology)
+    out2 = app.tick()
+    assert all(f.id == 2 for f in out2)
+    app.close()
+
+
+def test_zero_scale_raises():
+    app = MultiStreamApp(1)
+    with pytest.raises(ScaleError):
+        app.set_scale(0.0)

@@ -1,0 +1,56 @@
+"""SegFormer model family: shape contract, bf16 mode, stage integration."""
+
+import jax
+import numpy as np
+import pytest
+
+from infur_tpu.models import init_segformer, segformer_apply
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_segformer(jax.random.PRNGKey(0))
+
+
+def test_output_contract(params):
+    x = np.random.default_rng(0).normal(size=(1, 64, 96, 3)).astype(np.float32)
+    out = segformer_apply(params, x)
+    assert set(out) == {"out"}
+    assert out["out"].shape == (1, 21, 64, 96)
+    assert bool(np.isfinite(np.asarray(out["out"])).all())
+
+
+def test_bf16_mask_tracks_f32(params):
+    x = np.random.default_rng(1).normal(size=(1, 64, 64, 3)).astype(np.float32)
+    m32 = np.asarray(segformer_apply(params, x)["out"]).argmax(1)
+    m16 = np.asarray(segformer_apply(params, x,
+                                     compute_dtype="bfloat16")["out"]).argmax(1)
+    assert (m32 == m16).mean() > 0.95
+
+
+def test_batched(params):
+    x = np.zeros((2, 32, 32, 3), np.float32)
+    out = segformer_apply(params, x)["out"]
+    assert out.shape == (2, 21, 32, 32)
+
+
+def test_model_stage_family():
+    from infur_tpu.model_stage import Load, ModelStage
+    from infur_tpu.processing import Cell, Frame
+
+    stage = ModelStage()
+    stage.control(Load("segformer:b0"))
+    info = stage.info()
+    assert info.layout == "NHWC" and info.outputs == ("out",)
+    frame = Frame(1, np.random.default_rng(0).integers(
+        0, 255, (32, 48, 3), dtype=np.uint8))
+    cell = Cell()
+    stage.advance(frame, cell)
+    assert cell.value.primary.shape == (21, 32, 48)
+    stage.control(Load(""))  # unload
+    assert not stage.loaded
+
+
+def test_variant_dims():
+    p1 = init_segformer(jax.random.PRNGKey(0), variant="b1")
+    assert p1["stage1"]["patch_conv"].shape[-1] == 64
