@@ -210,10 +210,14 @@ void reader_loop(ffp_handle* h) {
 
 extern "C" {
 
-// Open: argv-style inputs; ring_depth frames of read-ahead (>=1).
+// Open: argv-style inputs; ring_depth frames of read-ahead (>=1);
+// pix_fmt "bgr24" (3 B/px) or "yuv420p" (1.5 B/px, decode-native planar).
 int ffp_open(const char** inputs, int n_inputs, int ring_depth,
-             ffp_handle** out) {
+             const char* pix_fmt, ffp_handle** out) {
   if (!inputs || n_inputs <= 0 || !out || ring_depth < 1) return FFP_EARG;
+  if (!pix_fmt) pix_fmt = "bgr24";
+  const bool yuv = strcmp(pix_fmt, "yuv420p") == 0;
+  if (!yuv && strcmp(pix_fmt, "bgr24") != 0) return FFP_EARG;
 
   std::vector<std::string> args = {"ffmpeg", "-hide_banner"};
   for (int i = 0; i < n_inputs; ++i) {
@@ -221,7 +225,7 @@ int ffp_open(const char** inputs, int n_inputs, int ring_depth,
     args.push_back(inputs[i]);
   }
   for (const char* a : {"-an", "-f", "image2pipe", "-fflags", "nobuffer",
-                        "-pix_fmt", "bgr24", "-c:v", "rawvideo", "pipe:1"})
+                        "-pix_fmt", pix_fmt, "-c:v", "rawvideo", "pipe:1"})
     args.push_back(a);
 
   int in_pipe[2], out_pipe[2], err_pipe[2];
@@ -277,7 +281,8 @@ int ffp_open(const char** inputs, int n_inputs, int ring_depth,
   h->width = h->info.width;
   h->height = h->info.height;
   h->fps = h->info.fps;
-  h->frame_bytes = (size_t)h->width * h->height * 3;
+  h->frame_bytes = yuv ? (size_t)h->width * h->height * 3 / 2
+                       : (size_t)h->width * h->height * 3;
 
   h->ring.slots.resize(ring_depth);
   h->ring.ids.resize(ring_depth);

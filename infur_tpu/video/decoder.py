@@ -83,13 +83,24 @@ class RvfDecoder:
         self._rdr.close()
 
 
-def ffmpeg_args(inputs: Sequence[str]) -> list[str]:
-    """The rawvideo-pipe command line (same contract as decoder.rs:32-37)."""
+def frame_nbytes(pix_fmt: str, w: int, h: int) -> int:
+    if pix_fmt == "bgr24":
+        return w * h * 3
+    if pix_fmt == "yuv420p":
+        return w * h * 3 // 2
+    raise VideoStartError(f"unsupported pix_fmt {pix_fmt!r}")
+
+
+def ffmpeg_args(inputs: Sequence[str], pix_fmt: str = "bgr24") -> list[str]:
+    """The rawvideo-pipe command line (same contract as decoder.rs:32-37).
+
+    ``pix_fmt="yuv420p"`` ships decode-native planar frames at half the
+    bytes; the device converts (infur_tpu.ops.yuv)."""
     args = ["ffmpeg", "-hide_banner"]
     for inp in inputs:
         args += ["-i", inp]
     args += ["-an", "-f", "image2pipe", "-fflags", "nobuffer",
-             "-pix_fmt", "bgr24", "-c:v", "rawvideo", "pipe:1"]
+             "-pix_fmt", pix_fmt, "-c:v", "rawvideo", "pipe:1"]
     return args
 
 
@@ -103,8 +114,10 @@ class FfmpegPipeDecoder:
     wait, map nonzero exit to an error (reference decoder.rs:119-148).
     """
 
-    def __init__(self, inputs: Sequence[str], _argv: Sequence[str] | None = None):
-        argv = list(_argv) if _argv is not None else ffmpeg_args(inputs)
+    def __init__(self, inputs: Sequence[str], _argv: Sequence[str] | None = None,
+                 pix_fmt: str = "bgr24"):
+        self.pix_fmt = pix_fmt
+        argv = list(_argv) if _argv is not None else ffmpeg_args(inputs, pix_fmt)
         try:
             self._proc = subprocess.Popen(
                 argv, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
@@ -150,10 +163,13 @@ class FfmpegPipeDecoder:
                 self.last_update = info
 
     def empty_image(self) -> np.ndarray:
+        if self.pix_fmt != "bgr24":
+            return np.empty(frame_nbytes(self.pix_fmt, self.width, self.height),
+                            np.uint8)
         return np.empty((self.height, self.width, 3), np.uint8)
 
     def read_frame_into(self, img: np.ndarray) -> int:
-        n = self.width * self.height * 3
+        n = frame_nbytes(self.pix_fmt, self.width, self.height)
         if img.nbytes != n:
             raise VideoReadError(f"output buffer is {img.nbytes} B, frame is {n} B")
         view = memoryview(img.reshape(-1).view(np.uint8))

@@ -47,7 +47,8 @@ def _load():
             return None
         lib = ctypes.CDLL(_SO)
         lib.ffp_open.argtypes = [ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
-                                 ctypes.c_int, ctypes.POINTER(ctypes.c_void_p)]
+                                 ctypes.c_int, ctypes.c_char_p,
+                                 ctypes.POINTER(ctypes.c_void_p)]
         lib.ffp_open.restype = ctypes.c_int
         lib.ffp_geometry.argtypes = [ctypes.c_void_p,
                                      ctypes.POINTER(ctypes.c_int),
@@ -77,16 +78,17 @@ class FfpipeDecoder:
 
     RING_DEPTH = 3
 
-    def __init__(self, inputs: Sequence[str]):
+    def __init__(self, inputs: Sequence[str], pix_fmt: str = "bgr24"):
         lib = _load()
         if lib is None:
             raise VideoStartError("ffpipe native library unavailable")
         self._lib = lib
+        self.pix_fmt = pix_fmt
         arr = (ctypes.c_char_p * len(inputs))(
             *[i.encode() for i in inputs])
         handle = ctypes.c_void_p()
         rc = lib.ffp_open(arr, len(inputs), self.RING_DEPTH,
-                          ctypes.byref(handle))
+                          pix_fmt.encode(), ctypes.byref(handle))
         if rc != FFP_OK:
             raise VideoStartError(
                 {FFP_ESPAWN: "cannot spawn ffmpeg",
@@ -106,11 +108,17 @@ class FfpipeDecoder:
         self._lib.ffp_last_line(self._h, buf, 512)
         return buf.value.decode("utf-8", "replace")
 
+    def _frame_bytes(self) -> int:
+        n = self.width * self.height * 3
+        return n // 2 if self.pix_fmt == "yuv420p" else n
+
     def empty_image(self) -> np.ndarray:
+        if self.pix_fmt != "bgr24":
+            return np.empty(self._frame_bytes(), np.uint8)
         return np.empty((self.height, self.width, 3), np.uint8)
 
     def read_frame_into(self, img: np.ndarray) -> int:
-        n = self.width * self.height * 3
+        n = self._frame_bytes()
         if img.nbytes != n or not img.flags.c_contiguous:
             raise VideoReadError(
                 f"need a contiguous {n}-byte buffer, got {img.nbytes}")

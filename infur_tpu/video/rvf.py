@@ -34,7 +34,9 @@ import numpy as np
 from infur_tpu.errors import VideoEOF, VideoReadError, VideoStartError
 
 MAGIC = b"RVF1"
-FOURCC = b"BGR3"
+FOURCC = b"BGR3"          # packed 8-bit BGR
+FOURCC_I420 = b"I420"     # planar YUV 4:2:0 (decode-native, half the bytes)
+FOURCCS = (FOURCC, FOURCC_I420)
 HEADER = struct.Struct("<4sIIIII4s4x")
 assert HEADER.size == 32
 
@@ -46,6 +48,7 @@ class RvfHeader:
     fps_num: int
     fps_den: int
     count: int
+    fourcc: bytes = FOURCC
 
     @property
     def fps(self) -> float:
@@ -53,6 +56,8 @@ class RvfHeader:
 
     @property
     def frame_bytes(self) -> int:
+        if self.fourcc == FOURCC_I420:
+            return self.width * self.height * 3 // 2
         return self.width * self.height * 3
 
 
@@ -60,19 +65,26 @@ class RvfWriter:
     """Streaming writer; patches the frame count into the header on close."""
 
     def __init__(self, path: str | os.PathLike, width: int, height: int,
-                 fps: float | tuple[int, int] = 30):
+                 fps: float | tuple[int, int] = 30, fourcc: bytes = FOURCC):
         if isinstance(fps, tuple):
             fps_num, fps_den = fps
         else:
             fps_num, fps_den = int(round(fps * 1000)), 1000
+        if fourcc not in FOURCCS:
+            raise ValueError(f"unsupported fourcc {fourcc!r}")
         self._f = open(path, "wb")
-        self._hdr = RvfHeader(width, height, fps_num, fps_den, 0)
+        self._hdr = RvfHeader(width, height, fps_num, fps_den, 0, fourcc)
         self._count = 0
-        self._f.write(HEADER.pack(MAGIC, width, height, fps_num, fps_den, 0, FOURCC))
+        self._f.write(HEADER.pack(MAGIC, width, height, fps_num, fps_den, 0, fourcc))
 
     def write_frame(self, img: np.ndarray) -> None:
         h, w = self._hdr.height, self._hdr.width
-        if img.shape != (h, w, 3) or img.dtype != np.uint8:
+        if self._hdr.fourcc == FOURCC_I420:
+            if img.dtype != np.uint8 or img.size != self._hdr.frame_bytes:
+                raise ValueError(
+                    f"I420 frame must be {self._hdr.frame_bytes} uint8 bytes, "
+                    f"got {img.dtype} size {img.size}")
+        elif img.shape != (h, w, 3) or img.dtype != np.uint8:
             raise ValueError(f"frame must be uint8 ({h},{w},3), got {img.dtype} {img.shape}")
         self._f.write(np.ascontiguousarray(img).tobytes())
         self._count += 1
@@ -116,15 +128,18 @@ class RvfReader:
         magic, w, h, num, den, count, fourcc = HEADER.unpack(raw)
         if magic != MAGIC:
             raise VideoStartError(f"bad RVF magic {magic!r}")
-        if fourcc != FOURCC:
+        if fourcc not in FOURCCS:
             raise VideoStartError(f"unsupported RVF fourcc {fourcc!r}")
         if w == 0 or h == 0 or den == 0:
             raise VideoStartError(f"degenerate RVF header {w}x{h}@{num}/{den}")
-        self.header = RvfHeader(w, h, num, den, count)
+        self.header = RvfHeader(w, h, num, den, count, fourcc)
         self._frame_id = 0
 
     def empty_image(self) -> np.ndarray:
-        """Allocate a correctly-sized frame buffer (reference decoder.rs:150-153)."""
+        """Allocate a correctly-sized frame buffer (reference decoder.rs:150-153).
+        BGR frames are (H, W, 3); I420 frames are flat (frame_bytes,)."""
+        if self.header.fourcc == FOURCC_I420:
+            return np.empty(self.header.frame_bytes, np.uint8)
         return np.empty((self.header.height, self.header.width, 3), np.uint8)
 
     def read_frame_into(self, img: np.ndarray) -> int:

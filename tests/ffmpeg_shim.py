@@ -23,6 +23,10 @@ import time
 def main() -> int:
     argv = sys.argv[1:]
     inputs = [argv[i + 1] for i, a in enumerate(argv[:-1]) if a == "-i"]
+    pix_fmt = "bgr24"
+    for i, a in enumerate(argv[:-1]):
+        if a == "-pix_fmt":
+            pix_fmt = argv[i + 1]
     spec = inputs[-1] if inputs else ""
     m = re.match(r"shim:(\d+)x(\d+)@([\d.]+):(\d+)((?::\w+)*)$", spec)
     if not m:
@@ -31,6 +35,7 @@ def main() -> int:
     w, h, fps, count = int(m[1]), int(m[2]), float(m[3]), int(m[4])
     opts = set((m[5] or "").strip(":").split(":")) - {""}
 
+    nbytes = w * h * 3 // 2 if pix_fmt == "yuv420p" else w * h * 3
     err = sys.stderr
     err.write(f"Input #0, lavfi, from '{spec}':\n")
     err.write("  Duration: N/A, start: 0.000000, bitrate: N/A\n")
@@ -40,13 +45,13 @@ def main() -> int:
     if "noheader" not in opts:
         err.write("Output #0, image2pipe, to 'pipe:1':\n")
         err.write("  Metadata:\n    encoder         : Lavf58.76.100\n")
-        err.write(f"  Stream #0:0: Video: rawvideo (BGR[24] / 0x18524742), "
-                  f"bgr24, {w}x{h} [SAR 1:1 DAR {w}:{h}], q=2-31, "
-                  f"{int(w*h*3*8*fps)} kb/s, {fps} fps, {fps} tbn\n")
+        err.write(f"  Stream #0:0: Video: rawvideo, "
+                  f"{pix_fmt}, {w}x{h} [SAR 1:1 DAR {w}:{h}], q=2-31, "
+                  f"{int(nbytes*8*fps)} kb/s, {fps} fps, {fps} tbn\n")
         err.flush()
 
     out = sys.stdout.buffer
-    frame = bytearray(w * h * 3)
+    frame = bytearray(nbytes)
     for i in range(count):
         # deterministic content: every byte = (frame_index + offset) % 256
         for j in range(0, len(frame), 4096):

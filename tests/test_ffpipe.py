@@ -113,3 +113,24 @@ def test_open_video_prefers_native(ffmpeg_on_path):
     buf = d.empty_image()
     assert d.read_frame_into(buf) == 1
     d.close()
+
+
+def test_python_pipe_yuv420p(ffmpeg_on_path):
+    """Decode-native planar frames: half the bytes per frame."""
+    d = FfmpegPipeDecoder(["shim:32x24@10:2"], pix_fmt="yuv420p")
+    assert (d.width, d.height) == (32, 24)
+    buf = d.empty_image()
+    assert buf.shape == (32 * 24 * 3 // 2,)
+    assert d.read_frame_into(buf) == 1
+    assert buf[0] == 0 and buf[5] == 5  # shim's deterministic bytes
+    d.close()
+
+
+@needs_native
+def test_native_pipe_yuv420p(ffmpeg_on_path):
+    from infur_tpu.video.ffpipe import FfpipeDecoder
+    d = FfpipeDecoder(["shim:32x24@10:2"], pix_fmt="yuv420p")
+    buf = d.empty_image()
+    assert buf.shape == (32 * 24 * 3 // 2,)
+    assert d.read_frame_into(buf) == 1
+    d.close()
