@@ -143,6 +143,32 @@ class _NativeFcnBackend:
         return self._apply(self.params, x, compute_dtype=self.compute_dtype)
 
 
+class _NativeDeeplabBackend:
+    """Native family: "deeplabv3[:bf16][@ckpt.npz]" (ResNet-50 + ASPP)."""
+
+    def __init__(self, spec: str):
+        from infur_tpu.models import deeplabv3_apply, init_deeplabv3_resnet50
+        body, _, ckpt = spec.partition("@")
+        opts = body.split(":")[1:]
+        self.compute_dtype = "bfloat16" if "bf16" in opts else "float32"
+        if ckpt:
+            from infur_tpu.runtime.checkpoint import load_params
+            self.params = load_params(ckpt)
+        else:
+            self.params = init_deeplabv3_resnet50(jax.random.PRNGKey(0))
+        self._apply = deeplabv3_apply
+        self.dims = (1, None, None, 3)
+        self.np_dtype = np.dtype(np.float32)
+        self.output_names = ("out", "aux") if "aux_head" in self.params else ("out",)
+
+    def preproc(self, out_hw: tuple[int, int]) -> PreProc:
+        return PreProc.imagenet(out_hw, layout="NHWC", channel_order="rgb",
+                                compute_dtype=self.compute_dtype)
+
+    def __call__(self, x: jax.Array) -> dict[str, jax.Array]:
+        return self._apply(self.params, x, compute_dtype=self.compute_dtype)
+
+
 class _NativeSegformerBackend:
     """Native family: "segformer[:b0|b1|b2][:bf16][@ckpt.npz]"."""
 
@@ -182,6 +208,8 @@ def _open_backend(spec: str):
         return _NativeFcnBackend(spec)
     if family == "segformer":
         return _NativeSegformerBackend(spec)
+    if family == "deeplabv3":
+        return _NativeDeeplabBackend(spec)
     raise ModelLoadError(
         f"unknown model spec {spec!r} (expected *.onnx or a native family)")
 

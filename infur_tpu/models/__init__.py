@@ -19,3 +19,4 @@ from infur_tpu.models.fcn_resnet50 import (  # noqa: F401
     fcn_resnet50_apply, fcn_resnet50_to_onnx, init_fcn_resnet50,
 )
 from infur_tpu.models.segformer import init_segformer, segformer_apply  # noqa: F401
+from infur_tpu.models.deeplabv3 import deeplabv3_apply, init_deeplabv3_resnet50  # noqa: F401

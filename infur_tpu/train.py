@@ -1,0 +1,93 @@
+"""Finetuning: optax train steps for the native model families.
+
+Beyond the reference's scope (it is inference-only), but a framework that
+owns native params pytrees should be able to adapt them: this module turns
+any family's ``apply(params, x_nhwc) -> {"out": NCHW logits, ...}`` into a
+jitted optax train step and a small training loop with checkpointing.
+Under a (data, model) mesh with NamedSharding'd params/batch (see
+infur_tpu.parallel), the same step runs data-parallel: XLA inserts the
+gradient psum over ``data``.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+log = logging.getLogger(__name__)
+
+ApplyFn = Callable[[Any, jax.Array], dict[str, jax.Array]]
+
+
+def segmentation_ce(apply_fn: ApplyFn, params: Any, x_nhwc: jax.Array,
+                    labels_nhw: jax.Array, aux_weight: float = 0.4) -> jax.Array:
+    """Pixel cross-entropy on "out" (+ aux_weight * aux, torchvision recipe).
+
+    Label -1 marks ignored pixels (void class in VOC-style datasets).
+    """
+    logits = apply_fn(params, x_nhwc)
+
+    def ce(nchw: jax.Array) -> jax.Array:
+        logp = jax.nn.log_softmax(nchw.astype(jnp.float32), axis=1)
+        valid = labels_nhw >= 0
+        safe = jnp.maximum(labels_nhw, 0)
+        picked = jnp.take_along_axis(logp, safe[:, None], axis=1)[:, 0]
+        return -(picked * valid).sum() / jnp.maximum(valid.sum(), 1)
+
+    loss = ce(logits["out"])
+    if "aux" in logits:
+        loss = loss + aux_weight * ce(logits["aux"])
+    return loss
+
+
+def make_train_step(apply_fn: ApplyFn, tx: optax.GradientTransformation,
+                    aux_weight: float = 0.4):
+    """A jitted (params, opt_state, x, y) -> (params, opt_state, loss)."""
+
+    @jax.jit
+    def step(params, opt_state, x_nhwc, labels_nhw):
+        loss, grads = jax.value_and_grad(
+            lambda p: segmentation_ce(apply_fn, p, x_nhwc, labels_nhw,
+                                      aux_weight))(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def finetune(apply_fn: ApplyFn, params: Any,
+             data: Iterable[tuple[jax.Array, jax.Array]],
+             steps: int, learning_rate: float = 1e-3,
+             weight_decay: float = 1e-4,
+             checkpoint_path: str | None = None,
+             checkpoint_every: int = 100,
+             log_every: int = 10) -> tuple[Any, list[float]]:
+    """Run ``steps`` optimizer steps over ``data`` (an iterable of
+    (x_nhwc f32, labels_nhw i32) batches); returns (params, loss history)."""
+    tx = optax.adamw(learning_rate, weight_decay=weight_decay)
+    opt_state = tx.init(params)
+    step = make_train_step(apply_fn, tx)
+    losses: list[float] = []
+    it = iter(data)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        x, y = next(it)
+        params, opt_state, loss = step(params, opt_state, x, y)
+        if (i + 1) % log_every == 0 or i == steps - 1:
+            lv = float(loss)
+            losses.append(lv)
+            log.info("step %d/%d loss %.4f (%.2f s)", i + 1, steps, lv,
+                     time.perf_counter() - t0)
+        if checkpoint_path and (i + 1) % checkpoint_every == 0:
+            from infur_tpu.runtime.checkpoint import save_params
+            save_params(checkpoint_path, jax.device_get(params))
+    if checkpoint_path:
+        from infur_tpu.runtime.checkpoint import save_params
+        save_params(checkpoint_path, jax.device_get(params))
+    return params, losses
