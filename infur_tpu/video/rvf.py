@@ -6,7 +6,7 @@ ffmpeg subprocess and reads exact w*h*3-byte frames
 ffmpeg binary, so the framework defines its own on-disk raw format carrying the
 same payload: a fixed 32-byte header followed by packed BGR24 frames.  It is
 the fixture currency of the test suite and a first-class input format of the
-decoder facade (the C++ ring reader in csrc/ speaks it too).
+decoder facade.
 
 Layout (little-endian):
 
