@@ -161,7 +161,12 @@ class ProcessingApp(Processor[AppCmd, None, "GUIFrame | None"]):
         if not (got_new_frame or scale_was_dirty):
             return  # nothing new to show (paused & no param change)
 
-        scaled_dev = jnp.asarray(scaled.img)
+        if scaled.fmt == "i420":
+            from infur_tpu.ops.yuv import i420_to_bgr
+            sh, sw = scaled.hw
+            scaled_dev = i420_to_bgr(jnp.asarray(scaled.img), sh, sw)
+        else:
+            scaled_dev = jnp.asarray(scaled.img)
         buffer = _frame_rgba(scaled_dev)
         decoded = composited = None
         pred = self.pred.value
@@ -181,11 +186,6 @@ class ProcessingApp(Processor[AppCmd, None, "GUIFrame | None"]):
                     composited = overlay(scaled_dev, scores)
         out.value = GUIFrame(id=scaled.id, buffer=buffer,
                              decoded=decoded, composited=composited)
-
-    def generate(self) -> "GUIFrame | None":
-        cell: Cell[GUIFrame | None] = Cell()
-        self.advance(None, cell)
-        return cell.value
 
     def close(self) -> None:
         self.vid.close()

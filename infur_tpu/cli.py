@@ -45,6 +45,7 @@ def cmd_play(args: argparse.Namespace) -> int:
     if args.model is not None:
         cfg.model_input = args.model
     cfg.paused = False
+    cfg.pix_fmt = args.pix_fmt
     if not cfg.video_input:
         print("error: no video input (give one or use --config)", file=sys.stderr)
         return 2
@@ -167,6 +168,9 @@ def main(argv: list[str] | None = None) -> int:
     play.add_argument("--config", default=None, help="JSON config path")
     play.add_argument("--save-config", action="store_true")
     play.add_argument("--timeout", type=float, default=120.0)
+    play.add_argument("--pix-fmt", default="bgr24",
+                      choices=["bgr24", "yuv420p"],
+                      help="frame wire format (yuv420p halves H2D bytes)")
     play.set_defaults(fn=cmd_play)
 
     info = sub.add_parser("info", help="introspect a model")

@@ -251,8 +251,15 @@ class ModelStage(Processor[ModelCmd, Frame, Prediction]):
         b = self._backend
         if b is None:
             return
-        h, w = inp.img.shape[:2]
-        x = preprocess(jnp.asarray(inp.img), b.preproc((h, w)))
+        h, w = inp.height_width
+        if inp.fmt == "i420":
+            # decode-native path: color-convert on device, then the same
+            # normalize/layout chain (one XLA fusion either way)
+            from infur_tpu.ops.yuv import i420_to_bgr
+            frame_dev = i420_to_bgr(jnp.asarray(inp.img), h, w)
+        else:
+            frame_dev = jnp.asarray(inp.img)
+        x = preprocess(frame_dev, b.preproc((h, w)))
         outputs = b(x)
         pred = out.value if isinstance(out.value, Prediction) else Prediction()
         pred.frame_id = inp.id

@@ -32,7 +32,12 @@ O = TypeVar("O")  # output
 
 @dataclass
 class Frame:
-    """A decoded video frame: monotonically increasing id + BGR uint8 image.
+    """A decoded video frame: monotonically increasing id + uint8 pixels.
+
+    ``fmt="bgr24"``: ``img`` is (H, W, 3) packed BGR.
+    ``fmt="i420"``:  ``img`` is the flat planar YUV420 buffer (see
+    infur_tpu.ops.yuv) and ``hw`` carries the geometry — the decode-native
+    wire format that halves host->device traffic.
 
     Equality is by id only (reference infur/src/processing.rs:14-18) — two
     Frame objects with the same id are the same logical frame even if one is
@@ -41,6 +46,12 @@ class Frame:
 
     id: int = 0
     img: np.ndarray = field(default_factory=lambda: np.empty((0, 0, 3), np.uint8))
+    fmt: str = "bgr24"
+    hw: tuple[int, int] | None = None
+
+    @property
+    def height_width(self) -> tuple[int, int]:
+        return self.hw if self.fmt == "i420" else tuple(self.img.shape[:2])
 
     def __eq__(self, other: object) -> bool:
         return isinstance(other, Frame) and self.id == other.id
@@ -75,6 +86,13 @@ class Processor(Generic[C, I, O]):
         """True if advancing with the same input would write new output."""
         return False
 
+    def generate(self):
+        """Sugar for source/sink nodes with ``Input=None``: one advance into
+        a fresh cell, returning its value (reference processing.rs:53-59)."""
+        cell: Cell = Cell()
+        self.advance(None, cell)
+        return cell.value
+
 
 # ---------------------------------------------------------------------------
 # VideoPlayer: source stage
@@ -82,11 +100,16 @@ class Processor(Generic[C, I, O]):
 
 @dataclass(frozen=True)
 class Play:
-    """(Re)start playback from these decoder inputs."""
-    inputs: tuple[str, ...]
+    """(Re)start playback from these decoder inputs.
 
-    def __init__(self, inputs: Sequence[str]):
+    ``pix_fmt="yuv420p"`` requests decode-native planar frames (half the
+    host->device bytes; converted on device)."""
+    inputs: tuple[str, ...]
+    pix_fmt: str = "bgr24"
+
+    def __init__(self, inputs: Sequence[str], pix_fmt: str = "bgr24"):
         object.__setattr__(self, "inputs", tuple(inputs))
+        object.__setattr__(self, "pix_fmt", pix_fmt)
 
 
 @dataclass(frozen=True)
@@ -128,7 +151,7 @@ class VideoPlayer(Processor[VideoCmd, None, Frame]):
         if isinstance(cmd, Play):
             self._close_video()
             self.inputs = cmd.inputs
-            self._vid = open_video(cmd.inputs)
+            self._vid = open_video(cmd.inputs, pix_fmt=cmd.pix_fmt)
         elif isinstance(cmd, Pause):
             self.paused = cmd.paused
         elif isinstance(cmd, Stop):
@@ -152,10 +175,17 @@ class VideoPlayer(Processor[VideoCmd, None, Frame]):
         if self.paused or self._vid is None:
             return False
         vid = self._vid
+        fmt = "i420" if getattr(vid, "pix_fmt", "bgr24") == "yuv420p" \
+            or getattr(getattr(vid, "header", None), "fourcc", b"") == b"I420" \
+            else "bgr24"
         frame = out.value
-        if (frame is None or frame.img.shape != (vid.height, vid.width, 3)
+        want_shape = ((vid.width * vid.height * 3 // 2,) if fmt == "i420"
+                      else (vid.height, vid.width, 3))
+        if (frame is None or frame.img.shape != want_shape
                 or not frame.img.flags.writeable):
             frame = Frame(0, vid.empty_image())
+        frame.fmt = fmt
+        frame.hw = (vid.height, vid.width) if fmt == "i420" else None
         try:
             frame.id = vid.read_frame_into(frame.img)
         except VideoEOF:
@@ -219,13 +249,19 @@ class Scale(Processor[float, Frame, Frame]):
 
     def advance(self, inp: Frame, out: Cell[Frame]) -> None:
         self._dirty = False
-        h, w = inp.img.shape[:2]
+        h, w = inp.height_width
         if h == 0 or w == 0:
             raise ScaleError(f"input frame has zero size: {w}x{h}")
         if self.factor == 1.0:
-            out.value = Frame(inp.id, inp.img.copy())
+            out.value = Frame(inp.id, inp.img.copy(), fmt=inp.fmt, hw=inp.hw)
             return
         oh, ow = self.out_dims(h, w)
         if oh == 0 or ow == 0:
             raise ScaleError(f"output would have zero size: {ow}x{oh} (factor {float(self.factor)})")
-        out.value = Frame(inp.id, resize_nearest(inp.img, oh, ow))
+        if inp.fmt == "i420":
+            from infur_tpu.ops.yuv import scale_i420
+            oh, ow = (oh + 1) // 2 * 2, (ow + 1) // 2 * 2  # 4:2:0 needs even
+            out.value = Frame(inp.id, scale_i420(inp.img, h, w, oh, ow),
+                              fmt="i420", hw=(oh, ow))
+        else:
+            out.value = Frame(inp.id, resize_nearest(inp.img, oh, ow))

@@ -22,6 +22,7 @@ class ProcConfig:
     scale: float = 0.5          # reference default (gui.rs:101)
     paused: bool = False
     model_input: str = ""
+    pix_fmt: str = "bgr24"      # "yuv420p" = decode-native planar frames
 
     @classmethod
     def load(cls, path: str = DEFAULT_PATH) -> "ProcConfig":
@@ -48,7 +49,7 @@ class ProcConfig:
 
         cmds: list = [ScaleCmd(self.scale)]
         if self.video_input:
-            cmds.append(Play(self.video_input))
+            cmds.append(Play(self.video_input, pix_fmt=self.pix_fmt))
         cmds.append(Pause(self.paused))
         if self.model_input:
             cmds.append(ModelCmd(self.model_input))

@@ -66,6 +66,8 @@ def proc_loop(ctrl_rx: "queue.Queue[AppCmd | None]",
                     state_change = True
                 except InfurError as e:
                     app_tx.put(e)  # command errors -> frontend status line
+                except Exception as e:  # errors are values, never thread death
+                    app_tx.put(InfurError(f"{type(e).__name__}: {e}"))
             if app.to_exit:
                 return
 
@@ -78,6 +80,9 @@ def proc_loop(ctrl_rx: "queue.Queue[AppCmd | None]",
                 frame = app.generate()
             except InfurError as e:
                 frame_tx.put(e)
+                continue
+            except Exception as e:  # unexpected: surface, keep the loop alive
+                frame_tx.put(InfurError(f"{type(e).__name__}: {e}"))
                 continue
             if frame is not None:
                 frame_tx.put(frame)  # blocks on backpressure (main.rs:86-88)

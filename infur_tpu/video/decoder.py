@@ -48,18 +48,30 @@ class VideoDecoder(Protocol):
 class SynthDecoder:
     """Procedural pattern source; infinite unless the spec bounds frames."""
 
-    def __init__(self, spec: SynthSpec):
+    def __init__(self, spec: SynthSpec, pix_fmt: str = "bgr24"):
+        if pix_fmt == "yuv420p" and (spec.width % 2 or spec.height % 2):
+            raise VideoStartError(
+                f"yuv420p needs even dimensions, got {spec.width}x{spec.height}")
         self.spec = spec
         self.width, self.height, self.fps = spec.width, spec.height, spec.fps
+        self.pix_fmt = pix_fmt
         self._next = 0
 
     def empty_image(self) -> np.ndarray:
+        if self.pix_fmt == "yuv420p":
+            return np.empty(self.width * self.height * 3 // 2, np.uint8)
         return np.empty((self.height, self.width, 3), np.uint8)
 
     def read_frame_into(self, img: np.ndarray) -> int:
         if self._next >= self.spec.count:
             raise VideoEOF("end of synth clip")
-        testsrc_frame(self.spec, self._next, img)
+        if self.pix_fmt == "yuv420p":
+            from infur_tpu.ops.yuv import bgr_to_i420
+            bgr = np.empty((self.height, self.width, 3), np.uint8)
+            testsrc_frame(self.spec, self._next, bgr)
+            img[...] = bgr_to_i420(bgr)
+        else:
+            testsrc_frame(self.spec, self._next, img)
         self._next += 1
         return self._next  # 1-based ids like the reference frame counter
 
@@ -71,6 +83,8 @@ class RvfDecoder:
     def __init__(self, path: str):
         self._rdr = RvfReader(path)
         h = self._rdr.header
+        self.header = h  # VideoPlayer reads fourcc for the frame format
+        self.pix_fmt = "yuv420p" if h.fourcc == b"I420" else "bgr24"
         self.width, self.height, self.fps = h.width, h.height, h.fps
 
     def empty_image(self) -> np.ndarray:
@@ -214,14 +228,18 @@ def have_ffmpeg() -> bool:
     return shutil.which("ffmpeg") is not None
 
 
-def open_video(inputs: Sequence[str]) -> VideoDecoder:
-    """Open any supported source; see module docstring for dispatch rules."""
+def open_video(inputs: Sequence[str],
+               pix_fmt: str = "bgr24") -> VideoDecoder:
+    """Open any supported source; see module docstring for dispatch rules.
+
+    ``pix_fmt="yuv420p"`` requests decode-native planar frames.  RVF files
+    serve their stored format regardless (the container dictates)."""
     if not inputs:
         raise VideoStartError("no video input given")
     first = inputs[0]
     spec = synth_spec_from_url(first)
     if spec is not None:
-        return SynthDecoder(spec)
+        return SynthDecoder(spec, pix_fmt=pix_fmt)
     if first.endswith(".rvf"):
         return RvfDecoder(first)
     if not have_ffmpeg():
@@ -231,7 +249,7 @@ def open_video(inputs: Sequence[str]) -> VideoDecoder:
     try:
         from infur_tpu.video.ffpipe import FfpipeDecoder, have_ffpipe
         if have_ffpipe():
-            return FfpipeDecoder(inputs)
+            return FfpipeDecoder(inputs, pix_fmt=pix_fmt)
     except ImportError:
         pass
-    return FfmpegPipeDecoder(inputs)
+    return FfmpegPipeDecoder(inputs, pix_fmt=pix_fmt)

@@ -153,3 +153,34 @@ def test_proc_loop_routes_command_errors():
     assert isinstance(r, InfurError) or hasattr(r, "scale")
     handle.send(Exit())
     handle.stop()
+
+
+def test_yuv420_pipeline_end_to_end(tmp_path):
+    """Decode-native planar frames through the whole interactive pipeline:
+    synth yuv source -> host i420 scale -> device conversion + model ->
+    composited RGBA, same ids/semantics as the bgr24 path."""
+    app = ProcessingApp()
+    app.control(Play(synth(64, 48), pix_fmt="yuv420p"))
+    app.control(ScaleCmd(0.5))
+    app.control(ModelCmd("fcn_resnet50"))
+    f = app.generate()
+    assert f is not None and f.id == 1
+    assert np.asarray(f.buffer).shape == (24, 32, 4)
+    assert np.asarray(f.composited).shape == (24, 32, 4)
+    # paused re-render at a new scale still works on planar frames
+    app.control(Pause(True))
+    app.control(ScaleCmd(1.0))
+    f2 = app.generate()
+    assert f2.id == 1 and np.asarray(f2.buffer).shape == (48, 64, 4)
+    app.close()
+
+
+def test_odd_dims_yuv_is_typed_error_not_thread_death():
+    from infur_tpu.errors import VideoStartError
+    app = ProcessingApp()
+    with pytest.raises(VideoStartError):
+        app.control(Play(["synth:33x24@10:1"], pix_fmt="yuv420p"))
+    # app still alive and usable
+    app.control(Play(synth(32, 24)))
+    assert app.generate().id == 1
+    app.close()

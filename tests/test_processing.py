@@ -139,3 +139,32 @@ class TestVideoPlayer:
         b = Frame(5, np.ones((4, 4, 3), np.uint8))
         assert a == b
         assert a != Frame(6, a.img)
+
+
+def test_errors_cross_thread_boundaries():
+    """Errors are values routed over queues/threads: every error type must
+    pickle and str() cleanly (the analog of the reference's Send/Sync and
+    size compile-time asserts, ff-video/src/error.rs:54-70)."""
+    import pickle
+
+    from infur_tpu import errors
+
+    types = [getattr(errors, n) for n in dir(errors)
+             if isinstance(getattr(errors, n), type)
+             and issubclass(getattr(errors, n), errors.InfurError)]
+    assert len(types) >= 10
+    for t in types:
+        e = t("boom") if t is not errors.VideoStartError \
+            else t("boom", "last line")
+        back = pickle.loads(pickle.dumps(e))
+        assert type(back) is t and "boom" in str(back)
+        assert isinstance(e.stage, str) and e.stage
+
+
+def test_generate_sugar():
+    from infur_tpu.processing import VideoPlayer, Play
+    vp = VideoPlayer()
+    vp.control(Play(["synth:8x8@5:1"]))
+    frame = vp.generate()
+    assert frame is not None and frame.id == 1
+    vp.close()
