@@ -95,11 +95,11 @@ def _frame_rgba(img_bgr_hwc: jax.Array) -> jax.Array:
 
 
 class ProcessingApp(Processor[AppCmd, None, "GUIFrame | None"]):
-    def __init__(self) -> None:
+    def __init__(self, model_bucket: int | None = None) -> None:
         from infur_tpu.processing import VideoPlayer
         self.vid = VideoPlayer()
         self.scale = Scale(1.0)
-        self.model = ModelStage()
+        self.model = ModelStage(bucket=model_bucket)
         self.frame: Cell[Frame] = Cell()
         self.scaled: Cell[Frame] = Cell()
         self.pred: Cell[Prediction] = Cell()

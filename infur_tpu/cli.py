@@ -153,6 +153,11 @@ def cmd_testgen(args: argparse.Namespace) -> int:
 
 
 def main(argv: list[str] | None = None) -> int:
+    # persistent XLA compile cache: scale-slider / model-swap recompiles hit
+    # disk instead of recompiling (first compile of a big model is minutes)
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/infur_tpu/jax"))
     p = argparse.ArgumentParser(prog="infur_tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -215,10 +215,21 @@ def _open_backend(spec: str):
 
 
 class ModelStage(Processor[ModelCmd, Frame, Prediction]):
-    """Runs the loaded model on (scaled) frames; no-op when unloaded."""
+    """Runs the loaded model on (scaled) frames; no-op when unloaded.
 
-    def __init__(self) -> None:
+    ``bucket``: optional multiple the model-input H/W round up to.  A
+    continuous scale slider otherwise compiles one executable per distinct
+    size (SURVEY §7 hard part 3 — a recompile storm); with e.g. bucket=32
+    the slider's 91 positions share a handful of compiled shapes.  The
+    model then runs slightly above the requested resolution and the
+    overlay/display path resamples, so output fidelity is unchanged in
+    kind, only in exact model grid.  Default off: exact reference
+    semantics (outputs at the scaled frame's resolution).
+    """
+
+    def __init__(self, bucket: int | None = None) -> None:
         self.spec = ""
+        self.bucket = bucket
         self._backend = None
 
     def control(self, cmd: ModelCmd) -> "ModelStage":
@@ -252,6 +263,10 @@ class ModelStage(Processor[ModelCmd, Frame, Prediction]):
         if b is None:
             return
         h, w = inp.height_width
+        th, tw = h, w  # model-input size; optionally bucketed (see class doc)
+        if self.bucket:
+            th = -(-h // self.bucket) * self.bucket
+            tw = -(-w // self.bucket) * self.bucket
         if inp.fmt == "i420":
             # decode-native path: color-convert on device, then the same
             # normalize/layout chain (one XLA fusion either way)
@@ -259,7 +274,7 @@ class ModelStage(Processor[ModelCmd, Frame, Prediction]):
             frame_dev = i420_to_bgr(jnp.asarray(inp.img), h, w)
         else:
             frame_dev = jnp.asarray(inp.img)
-        x = preprocess(frame_dev, b.preproc((h, w)))
+        x = preprocess(frame_dev, b.preproc((th, tw)))
         outputs = b(x)
         pred = out.value if isinstance(out.value, Prediction) else Prediction()
         pred.frame_id = inp.id

@@ -120,7 +120,9 @@ class ProcHandle:
 
 def start_proc(app: ProcessingApp | None = None,
                name: str = "Proc") -> ProcHandle:
-    """Spawn the processing thread (reference main.rs:110-112)."""
+    """Spawn the processing thread (reference main.rs:110-112).
+    Pass a pre-built app to configure it (e.g. ProcessingApp(model_bucket=32));
+    it must not have been used on another thread."""
     ctrl: "queue.Queue[AppCmd | None]" = queue.Queue()
     frames: "queue.Queue[FrameResult]" = queue.Queue(FRAME_CHANNEL_DEPTH)
     results: "queue.Queue[CtrlResult]" = queue.Queue()

@@ -184,3 +184,17 @@ def test_odd_dims_yuv_is_typed_error_not_thread_death():
     app.control(Play(synth(32, 24)))
     assert app.generate().id == 1
     app.close()
+
+
+def test_model_bucketing_caps_compile_shapes():
+    """With bucket=16, nearby scales share one model-input shape (the
+    scale-slider recompile-storm mitigation, SURVEY hard part 3)."""
+    app = ProcessingApp(model_bucket=16)
+    app.control(Play(synth(60, 44)))
+    app.control(ModelCmd("fcn_resnet50"))
+    f = app.generate()
+    # display stays exact (44x60); model ran at the bucketed grid
+    assert np.asarray(f.buffer).shape == (44, 60, 4)
+    assert app.pred.value.primary.shape == (21, 48, 64)
+    assert np.asarray(f.composited).shape == (44, 60, 4)
+    app.close()
