@@ -46,11 +46,14 @@ def cmd_play(args: argparse.Namespace) -> int:
         cfg.model_input = args.model
     cfg.paused = False
     cfg.pix_fmt = args.pix_fmt
+    if args.model_bucket is not None:
+        cfg.model_bucket = args.model_bucket
     if not cfg.video_input:
         print("error: no video input (give one or use --config)", file=sys.stderr)
         return 2
 
-    handle = start_proc()
+    from infur_tpu.app import ProcessingApp
+    handle = start_proc(ProcessingApp(model_bucket=cfg.model_bucket))
     for cmd in cfg.commands():
         handle.send(cmd)
 
@@ -137,6 +140,8 @@ def cmd_view(args: argparse.Namespace) -> int:
         cfg.scale = args.scale
     if args.model is not None:
         cfg.model_input = args.model
+    if args.model_bucket is not None:
+        cfg.model_bucket = args.model_bucket or None
     print(f"viewer at http://{args.host}:{args.port}/", flush=True)
     serve(args.host, args.port, config=cfg)
     return 0
@@ -154,10 +159,13 @@ def cmd_testgen(args: argparse.Namespace) -> int:
 
 def main(argv: list[str] | None = None) -> int:
     # persistent XLA compile cache: scale-slider / model-swap recompiles hit
-    # disk instead of recompiling (first compile of a big model is minutes)
-    os.environ.setdefault(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.expanduser("~/.cache/infur_tpu/jax"))
+    # disk instead of recompiling (first compile of a big model is minutes).
+    # jax is already imported by the module imports above, so the env var
+    # would be ignored — the config update is the reliable path.
+    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/infur_tpu/jax"))
     p = argparse.ArgumentParser(prog="infur_tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -176,6 +184,9 @@ def main(argv: list[str] | None = None) -> int:
     play.add_argument("--pix-fmt", default="bgr24",
                       choices=["bgr24", "yuv420p"],
                       help="frame wire format (yuv420p halves H2D bytes)")
+    play.add_argument("--model-bucket", type=int, default=None,
+                      help="round model input dims up to this multiple "
+                      "(caps scale-slider recompiles)")
     play.set_defaults(fn=cmd_play)
 
     info = sub.add_parser("info", help="introspect a model")
@@ -189,6 +200,9 @@ def main(argv: list[str] | None = None) -> int:
     view.add_argument("--config", default=None)
     view.add_argument("--host", default="127.0.0.1")
     view.add_argument("--port", type=int, default=8793)
+    view.add_argument("--model-bucket", type=int, default=32,
+                      help="model-input rounding multiple (the slider "
+                      "would otherwise compile per position; 0 disables)")
     view.set_defaults(fn=cmd_view)
 
     tg = sub.add_parser("testgen", help="generate test fixtures "

@@ -228,6 +228,8 @@ class ModelStage(Processor[ModelCmd, Frame, Prediction]):
     """
 
     def __init__(self, bucket: int | None = None) -> None:
+        if bucket is not None and bucket < 1:
+            raise ModelLoadError(f"bucket must be >= 1, got {bucket}")
         self.spec = ""
         self.bucket = bucket
         self._backend = None

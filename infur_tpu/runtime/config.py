@@ -23,6 +23,7 @@ class ProcConfig:
     paused: bool = False
     model_input: str = ""
     pix_fmt: str = "bgr24"      # "yuv420p" = decode-native planar frames
+    model_bucket: int | None = None  # round model input dims up to a multiple
 
     @classmethod
     def load(cls, path: str = DEFAULT_PATH) -> "ProcConfig":

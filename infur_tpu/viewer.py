@@ -202,7 +202,10 @@ def serve(host: str = "127.0.0.1", port: int = 8793,
           handle: ProcHandle | None = None) -> None:
     """Run the viewer until /cmd {"exit": true} (close handshake:
     Stop+Exit to the proc thread, then join — gui.rs:336-347)."""
-    handle = handle or start_proc()
+    if handle is None:
+        from infur_tpu.app import ProcessingApp
+        bucket = getattr(config, "model_bucket", None)
+        handle = start_proc(ProcessingApp(model_bucket=bucket))
     if config is not None:
         for cmd in config.commands():
             handle.send(cmd)

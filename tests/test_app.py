@@ -187,14 +187,25 @@ def test_odd_dims_yuv_is_typed_error_not_thread_death():
 
 
 def test_model_bucketing_caps_compile_shapes():
-    """With bucket=16, nearby scales share one model-input shape (the
+    """With bucket=16, NEARBY sizes share ONE model-input shape (the
     scale-slider recompile-storm mitigation, SURVEY hard part 3)."""
-    app = ProcessingApp(model_bucket=16)
-    app.control(Play(synth(60, 44)))
-    app.control(ModelCmd("fcn_resnet50"))
-    f = app.generate()
-    # display stays exact (44x60); model ran at the bucketed grid
-    assert np.asarray(f.buffer).shape == (44, 60, 4)
-    assert app.pred.value.primary.shape == (21, 48, 64)
-    assert np.asarray(f.composited).shape == (44, 60, 4)
-    app.close()
+    shapes = set()
+    for w, h in ((60, 44), (63, 47), (50, 34)):
+        app = ProcessingApp(model_bucket=16)
+        app.control(Play(synth(w, h)))
+        app.control(ModelCmd("fcn_resnet50"))
+        f = app.generate()
+        assert np.asarray(f.buffer).shape == (h, w, 4)    # display exact
+        assert np.asarray(f.composited).shape == (h, w, 4)
+        shapes.add(app.pred.value.primary.shape)
+        app.close()
+    assert shapes == {(21, 48, 64)}  # three sizes, one compiled model shape
+
+
+def test_bucket_validation():
+    from infur_tpu.errors import ModelLoadError
+    from infur_tpu.model_stage import ModelStage
+    with pytest.raises(ModelLoadError):
+        ModelStage(bucket=0)
+    with pytest.raises(ModelLoadError):
+        ModelStage(bucket=-8)
