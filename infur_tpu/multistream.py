@@ -106,16 +106,22 @@ class MultiStreamApp:
 
         # lockstep batching needs one geometry: scale every frame to the
         # smallest stream's scaled dims (streams usually match)
-        dims = [scale_to_hw(self.scale, f.img.shape[0], f.img.shape[1])
-                for _, f in produced]
+        dims = [scale_to_hw(self.scale, *f.height_width) for _, f in produced]
         oh = min(d[0] for d in dims)
         ow = min(d[1] for d in dims)
         if oh == 0 or ow == 0:
             raise ScaleError(f"scaled batch would be empty: {ow}x{oh}")
-        batch = np.stack([
-            f.img if f.img.shape[:2] == (oh, ow)
-            else resize_nearest(f.img, oh, ow)
-            for _, f in produced])
+
+        def as_bgr(f: Frame) -> np.ndarray:
+            if f.fmt == "i420":  # decode-native stream: convert for batching
+                from infur_tpu.ops.yuv import i420_to_bgr_np
+                img = i420_to_bgr_np(f.img, *f.height_width)
+            else:
+                img = f.img
+            return img if img.shape[:2] == (oh, ow) \
+                else resize_nearest(img, oh, ow)
+
+        batch = np.stack([as_bgr(f) for _, f in produced])
 
         sharding = self._sharding
         if sharding is not None and batch.shape[0] % self.mesh.shape["data"]:

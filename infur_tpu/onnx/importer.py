@@ -125,6 +125,12 @@ def _jmin(attrs, *xs):
 
 @jop("Softmax")
 def _jsoftmax(attrs, x):
+    if attrs.get("__opset__", 13) < 13:
+        # pre-13 Softmax: coerce to 2D over [axis:] flattened (default 1)
+        axis = int(attrs.get("axis", 1)) % x.ndim
+        lead = int(np.prod(x.shape[:axis])) if axis else 1
+        y = jax.nn.softmax(x.reshape(lead, -1), axis=-1)
+        return y.reshape(x.shape)
     return jax.nn.softmax(x, axis=attrs.get("axis", -1))
 
 @jop("Gelu")
@@ -300,8 +306,10 @@ def _jreduce(fn, attrs, x, axes_in=None):
     if axes_in is not None:
         axes = _const_ints(axes_in, "Reduce axes")
     keep = bool(attrs.get("keepdims", 1))
-    if axes is None and attrs.get("noop_with_empty_axes", 0) and axes_in is None:
-        return x
+    if not axes:  # None or empty axes tensor
+        if attrs.get("noop_with_empty_axes", 0):
+            return x
+        axes = None  # opset-18: empty axes + noop=0 => reduce ALL dims
     ax = None if axes is None else tuple(int(a) % x.ndim for a in axes)
     return fn(x, axis=ax, keepdims=keep)
 
@@ -409,12 +417,11 @@ def _jconv_transpose(attrs, x, w, b=None):
     groups = int(attrs.get("group", 1))
     pads_attr = attrs.get("pads") or [0] * (2 * nd)
     out_pad = attrs.get("output_padding") or [0] * nd
-    kh, kw = w.shape[2], w.shape[3]
     eff = [(w.shape[2 + i] - 1) * dilations[i] + 1 for i in range(nd)]
     pads = [(eff[i] - 1 - pads_attr[i], eff[i] - 1 - pads_attr[i + nd] + out_pad[i])
             for i in range(nd)]
-    # lhs_dilation implements the stride-upsampling; kernel is flipped IOHW
-    wt = jnp.swapaxes(w, 0, 1)  # (M/g? ...) ONNX ConvTranspose W is (C, M/g, kH, kW)
+    # lhs_dilation implements the stride-upsampling; the kernel transposes
+    # ONNX's (C, M/g, kH, kW) to OIHW and flips spatially in each branch
     if groups > 1:
         c = x.shape[1]
         cg = c // groups
@@ -688,7 +695,15 @@ class ImportedModel:
         return self.jitted(self.params, feeds)
 
 
-def import_graph(graph: GraphProto, *,
+def graph_opset(model: ModelProto) -> int:
+    """The default-domain opset version (13 if unspecified)."""
+    for osi in model.opset_import or []:
+        if (osi.domain or "") in ("", "ai.onnx") and osi.version:
+            return int(osi.version)
+    return 13
+
+
+def import_graph(graph: GraphProto, *, opset: int = 13,
                  matmul_precision: str = "highest") -> ImportedModel:
     """Lower an ONNX graph to a jitted JAX callable.
 
@@ -750,14 +765,24 @@ def import_graph(graph: GraphProto, *,
         with jax.default_matmul_precision(matmul_precision):
             for node in traced_nodes:
                 args = [env[n] if n else None for n in node.input]
-                # keep shape machinery in the numpy domain at trace time:
-                # all-numpy inputs + an oracle op => evaluate statically
-                if node.op_type in oracle.OPS and all(
-                        a is None or isinstance(a, (np.ndarray, np.generic))
-                        for a in args) and node.op_type != "Constant":
-                    result = oracle.OPS[node.op_type](node.attrs(), *args)
-                else:
-                    result = JAX_OPS[node.op_type](node.attrs(), *args)
+                attrs = node.attrs()
+                attrs["__opset__"] = opset
+                # keep SHAPE machinery in the numpy domain at trace time
+                # (e.g. Shape-of-traced-input feeding Concat/Gather/Resize);
+                # arbitrary compute ops stay on the JAX path so the
+                # import-time fold limits and op semantics hold
+                result = None
+                if (node.op_type in _SHAPE_FAMILY
+                        and node.op_type in oracle.OPS
+                        and all(a is None or
+                                isinstance(a, (np.ndarray, np.generic))
+                                for a in args)):
+                    try:
+                        result = oracle.OPS[node.op_type](attrs, *args)
+                    except Exception:
+                        result = None  # fall through to the JAX op
+                if result is None:
+                    result = JAX_OPS[node.op_type](attrs, *args)
                 outs = result if isinstance(result, tuple) else (result,)
                 for n, v in zip(node.output, outs):
                     if n:
@@ -774,4 +799,5 @@ def import_model(model_or_path: ModelProto | str | bytes, *,
              else load_model(model_or_path))
     if model.graph is None:
         raise ModelLoadError("model has no graph")
-    return import_graph(model.graph, matmul_precision=matmul_precision)
+    return import_graph(model.graph, opset=graph_opset(model),
+                        matmul_precision=matmul_precision)

@@ -211,6 +211,12 @@ def _min_(attrs, *xs):
 
 @op("Softmax")
 def _softmax(attrs, x):
+    if attrs.get("__opset__", 13) < 13:
+        axis = int(attrs.get("axis", 1)) % x.ndim
+        lead = int(np.prod(x.shape[:axis])) if axis else 1
+        flat = x.reshape(lead, -1)
+        e = np.exp(flat - flat.max(-1, keepdims=True))
+        return (e / e.sum(-1, keepdims=True)).reshape(x.shape).astype(x.dtype)
     axis = attrs.get("axis", -1)
     m = np.max(x, axis=axis, keepdims=True)
     e = np.exp(x - m)
@@ -420,8 +426,10 @@ def _reduce(fn, attrs, x, axes_in=None):
     if axes_in is not None:
         axes = [int(a) for a in np.asarray(axes_in).ravel()]
     keep = bool(attrs.get("keepdims", 1))
-    if axes is None and attrs.get("noop_with_empty_axes", 0) and axes_in is None:
-        return x
+    if not axes:  # None or empty axes tensor
+        if attrs.get("noop_with_empty_axes", 0):
+            return x
+        axes = None  # opset-18: empty axes + noop=0 => reduce ALL dims
     ax = None if axes is None else tuple(int(a) % x.ndim for a in axes)
     return fn(x, axis=ax, keepdims=keep)
 
@@ -801,7 +809,8 @@ class UnsupportedOp(NotImplementedError):
 
 
 def run_graph(graph: GraphProto, feeds: dict[str, np.ndarray],
-              outputs: list[str] | None = None) -> dict[str, np.ndarray]:
+              outputs: list[str] | None = None,
+              opset: int = 13) -> dict[str, np.ndarray]:
     """Execute a graph with NumPy; returns requested (default: graph) outputs."""
     env: dict[str, np.ndarray] = {}
     for init in graph.initializer:
@@ -812,7 +821,9 @@ def run_graph(graph: GraphProto, feeds: dict[str, np.ndarray],
         if fn is None:
             raise UnsupportedOp(f"oracle: unsupported op {node.op_type}")
         args = [env[name] if name else None for name in node.input]
-        result = fn(node.attrs(), *args)
+        attrs = node.attrs()
+        attrs["__opset__"] = opset
+        result = fn(attrs, *args)
         outs = result if isinstance(result, tuple) else (result,)
         for name, val in zip(node.output, outs):
             if name:
@@ -823,4 +834,5 @@ def run_graph(graph: GraphProto, feeds: dict[str, np.ndarray],
 
 def run_model(model: ModelProto, feeds: dict[str, np.ndarray],
               outputs: list[str] | None = None) -> dict[str, np.ndarray]:
-    return run_graph(model.graph, feeds, outputs)
+    from infur_tpu.onnx.importer import graph_opset
+    return run_graph(model.graph, feeds, outputs, opset=graph_opset(model))

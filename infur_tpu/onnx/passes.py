@@ -50,6 +50,8 @@ def fold_batchnorm(model: ModelProto) -> ModelProto:
             continue
         if len([n for n in g_nodes if conv.output[0] in n.input]) != 1:
             continue
+        if any(o.name == conv.output[0] for o in g.output):
+            continue  # conv output doubles as a graph output: keep the BN
         names = list(bn.input[1:5])
         if not all(nm in new_inits for nm in names) or \
                 conv.input[1] not in new_inits:

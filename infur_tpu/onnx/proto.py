@@ -272,6 +272,9 @@ class TensorProto(Message):
         Field(9, "raw_data", "bytes"),
         Field(10, "double_data", "double", repeated=True),
         Field(11, "uint64_data", "uint64", repeated=True),
+        # decoded for presence detection only (payload stays on disk)
+        Field(13, "external_data", "bytes", repeated=True),
+        Field(14, "data_location", "enum"),
     ]
 
 
@@ -312,6 +315,14 @@ def tensor_to_numpy(t: TensorProto) -> np.ndarray:
             arr = np.asarray(t.int32_data, np.int64).astype(dt)
     elif t.uint64_data:
         arr = np.asarray(t.uint64_data, dt)
+    elif t.external_data or t.data_location:
+        raise ValueError(
+            f"tensor {t.name!r} stores its payload in external data files, "
+            "which this loader does not support — re-save the model with "
+            "all tensors internal (onnx.external_data_helper)")
+    elif shape and int(np.prod(shape)) > 0:
+        raise ValueError(
+            f"tensor {t.name!r} declares shape {shape} but carries no data")
     else:
         arr = np.zeros(int(np.prod(shape)) if shape else 0, dt)
     return arr.reshape(shape).copy()
@@ -408,10 +419,14 @@ class AttributeProto(Message):
 
     def value(self) -> Any:
         t = self.type
+        # proto3 serializers omit zero-valued singular scalars from the
+        # wire, so a typed-but-absent field means 0/0.0 — not None (a None
+        # here would silently drop e.g. Clip's min=0.0 or Gather's axis=0
+        # on models exported by onnx/torch)
         if t == self.FLOAT:
-            return self.f
+            return self.f if self.f is not None else 0.0
         if t == self.INT:
-            return self.i
+            return self.i if self.i is not None else 0
         if t == self.STRING:
             return self.s.decode("utf-8", "replace") if self.s is not None else ""
         if t == self.TENSOR:

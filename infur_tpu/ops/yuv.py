@@ -69,6 +69,20 @@ def scale_i420(flat: np.ndarray, h: int, w: int,
     return np.concatenate([y.ravel(), u.ravel(), v.ravel()])
 
 
+def i420_to_bgr_np(flat: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Host-side twin of :func:`i420_to_bgr` (numpy; for host batch paths)."""
+    y = flat[: w * h].reshape(h, w).astype(np.float32)
+    q = w * h // 4
+    u = flat[w * h: w * h + q].reshape(h // 2, w // 2).astype(np.float32)
+    v = flat[w * h + q:].reshape(h // 2, w // 2).astype(np.float32)
+    u = np.repeat(np.repeat(u, 2, axis=0), 2, axis=1) - 128.0
+    v = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1) - 128.0
+    r = y + 1.403 * v
+    g = y - 0.344 * u - 0.714 * v
+    b = y + 1.773 * u
+    return np.clip(np.rint(np.stack([b, g, r], axis=-1)), 0, 255).astype(np.uint8)
+
+
 @partial(jax.jit, static_argnames=("h", "w"))
 def i420_to_bgr(flat: jax.Array, h: int, w: int) -> jax.Array:
     """Device-side decoder: flat I420 u8 -> (H, W, 3) BGR u8."""

@@ -18,10 +18,14 @@ def _flatten(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
     out: dict[str, np.ndarray] = {}
     if isinstance(tree, dict):
         for k, v in tree.items():
+            if k.startswith("#"):
+                raise ValueError(f"dict key {k!r} collides with the list marker")
             out.update(_flatten(v, f"{prefix}{k}/"))
     elif isinstance(tree, (list, tuple)):
+        # "#<i>" marks list indices unambiguously (a dict with digit-string
+        # keys must round-trip as a dict, not silently become a list)
         for i, v in enumerate(tree):
-            out.update(_flatten(v, f"{prefix}{i}/"))
+            out.update(_flatten(v, f"{prefix}#{i}/"))
     else:
         out[prefix[:-1]] = np.asarray(tree)
     return out
@@ -40,8 +44,11 @@ def _unflatten(flat: dict[str, np.ndarray]) -> Any:
         if not isinstance(node, dict):
             return node
         keys = list(node.keys())
-        if keys and all(k.isdigit() for k in keys):
-            return [listify(node[str(i)]) for i in range(len(keys))]
+        if keys and all(k.startswith("#") for k in keys):
+            want = {f"#{i}" for i in range(len(keys))}
+            if set(keys) != want:
+                raise ValueError(f"non-contiguous list indices: {sorted(keys)}")
+            return [listify(node[f"#{i}"]) for i in range(len(keys))]
         return {k: listify(v) for k, v in node.items()}
 
     return listify(root)

@@ -44,6 +44,12 @@ def proc_loop(ctrl_rx: "queue.Queue[AppCmd | None]",
     state_change = True  # announce initial state
     try:
         while not app.to_exit:
+            if state_change:
+                # snapshot BEFORE a (possibly blocking) intake, so frontends
+                # see the initial/changed state without sending a command
+                app_tx.put(app.info())
+                state_change = False
+
             # -- command intake: blocking when clean, draining when dirty --
             cmds: list[AppCmd] = []
             if not app.is_dirty():

@@ -67,3 +67,16 @@ def test_zero_scale_raises():
     app = MultiStreamApp(1)
     with pytest.raises(ScaleError):
         app.set_scale(0.0)
+
+
+def test_i420_streams_batch():
+    """Decode-native streams work in the batched multi-stream config."""
+    app = MultiStreamApp(2)
+    app.play(0, ["synth:32x24@10:1"])
+    app.players[1].control(
+        __import__("infur_tpu.processing", fromlist=["Play"])
+        .Play(["synth:32x24@10:1"], pix_fmt="yuv420p"))
+    out = app.tick()
+    assert len(out) == 2
+    assert {np.asarray(f.rgba).shape for f in out} == {(24, 32, 4)}
+    app.close()

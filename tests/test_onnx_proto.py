@@ -133,3 +133,31 @@ class TestProtocCrossValidation:
         assert '4: "Conv"' in out.stdout
         assert '1: "x"' in out.stdout  # node input / value-info name
         assert '2: "xval"' in out.stdout  # graph name (field 2)
+
+
+def test_zero_valued_scalar_attributes_decode_as_zero():
+    """proto3 serializers omit zero scalars from the wire; a typed INT/FLOAT
+    attribute with no payload must decode as 0/0.0, never None (a None
+    silently drops Clip(min=0.0) or flattens Gather(axis=0))."""
+    from infur_tpu.onnx.proto import AttributeProto
+
+    a = AttributeProto(name="axis", type=AttributeProto.INT)  # i omitted
+    back = AttributeProto.decode(a.encode())
+    assert back.value() == 0 and isinstance(back.value(), int)
+
+    f = AttributeProto(name="min", type=AttributeProto.FLOAT)  # f omitted
+    back = AttributeProto.decode(f.encode())
+    assert back.value() == 0.0
+
+
+def test_external_data_tensor_is_rejected():
+    from infur_tpu.onnx.proto import TensorProto, tensor_to_numpy
+
+    t = TensorProto(dims=[2, 2], data_type=TensorProto.FLOAT,
+                    data_location=1)  # EXTERNAL, no payload
+    with pytest.raises(ValueError, match="external"):
+        tensor_to_numpy(t)
+
+    t2 = TensorProto(dims=[2, 2], data_type=TensorProto.FLOAT)  # no data at all
+    with pytest.raises(ValueError, match="carries no data"):
+        tensor_to_numpy(t2)

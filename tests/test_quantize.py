@@ -127,3 +127,24 @@ def test_fcn_resnet50_int8_end_to_end(rng):
     m8, m32 = out8.argmax(1), out32.argmax(1)
     agreement = (m8 == m32).mean()
     assert agreement > 0.85, f"int8 mask agreement {agreement:.3f}"
+
+
+def test_fold_keeps_bn_when_conv_output_is_graph_output(rng):
+    """Folding must not orphan a graph output that aliases the conv output."""
+    g = GraphBuilder("edge")
+    x = g.input("x", np.float32, (1, 2, 4, 4))
+    w = g.init("w", rng.normal(size=(2, 2, 1, 1)).astype(np.float32))
+    conv_out = g.node("Conv", [x, w])
+    bn_out = g.node("BatchNormalization", [
+        conv_out, g.init("s", np.ones(2, np.float32)),
+        g.init("b", np.zeros(2, np.float32)),
+        g.init("m", np.zeros(2, np.float32)),
+        g.init("v", np.ones(2, np.float32))])
+    g.output(conv_out, np.float32, (1, 2, 4, 4))  # conv output IS an output
+    g.output(bn_out, np.float32, (1, 2, 4, 4))
+    model = g.model()
+    folded = fold_batchnorm(model)
+    feeds = {"x": rng.normal(size=(1, 2, 4, 4)).astype(np.float32)}
+    a, b = run_model(model, feeds), run_model(folded, feeds)
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-5)

@@ -83,3 +83,22 @@ def test_checkpoint_roundtrip(tmp_path):
     assert isinstance(back["blocks"], list) and len(back["blocks"]) == 2
     np.testing.assert_array_equal(back["blocks"][1]["w"], np.zeros((3,)))
     assert float(back["nested"]["deep"]["x"]) == 2.5
+
+
+def test_checkpoint_digit_string_dict_keys(tmp_path):
+    """Digit-string dict keys must round-trip as a dict, not become a list."""
+    params = {"layers": {"0": np.ones(2), "1": np.zeros(3)}}
+    p = str(tmp_path / "d.npz")
+    save_params(p, params)
+    back = load_params(p)
+    assert isinstance(back["layers"], dict)
+    np.testing.assert_array_equal(back["layers"]["1"], np.zeros(3))
+
+
+def test_initial_appinfo_announced_without_commands():
+    """Frontends get the startup state snapshot before sending anything."""
+    from infur_tpu.runtime.loop import start_proc
+    h = start_proc()
+    r = h.ctrl_result_rx.get(timeout=5)
+    assert hasattr(r, "scale")  # an AppInfo, unprompted
+    h.stop()
