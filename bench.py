@@ -59,22 +59,19 @@ def main() -> int:
     from infur_tpu.models import init_fcn_resnet50
     from infur_tpu.models.fcn_resnet50 import _fcn_forward
     from infur_tpu.ops.colorcode import _DEFAULT_PALETTE
-    from infur_tpu.ops.preprocess import (
-        IMAGENET_MEAN_RGB, IMAGENET_STD_RGB, scale_to_hw,
-    )
-    from infur_tpu.ops.yuv import i420_to_rgbf, scale_i420
+    from infur_tpu.ops.pallas_preprocess import i420_to_normalized_pallas
+    from infur_tpu.ops.preprocess import scale_to_hw
+    from infur_tpu.ops.yuv import scale_i420
     from infur_tpu.video.rvf import RvfReader
 
     params = init_fcn_resnet50(jax.random.PRNGKey(0))
     oh, ow = scale_to_hw(SCALE, H, W)
-    mean = jnp.asarray(IMAGENET_MEAN_RGB, jnp.float32)
-    std = jnp.asarray(IMAGENET_STD_RGB, jnp.float32)
 
     @jax.jit
     def step(params, yuv_flat_batch):
-        """(B, oh*ow*3/2) I420 u8 -> (mask u8 (B,oh,ow), conf u8, rgb u8)."""
-        rgb = jax.vmap(lambda f: i420_to_rgbf(f, oh, ow))(yuv_flat_batch)
-        x = ((rgb - mean) / std).astype(jnp.bfloat16)
+        """(B, oh*ow*3/2) I420 u8 -> (mask u8 (B,oh,ow), conf u8)."""
+        x = jax.vmap(lambda f: i420_to_normalized_pallas(
+            f, oh, ow, compute_dtype="bfloat16"))(yuv_flat_batch)
         scores = _fcn_forward(params, x, "bfloat16")["out"]
         mask = jnp.argmax(scores, axis=1).astype(jnp.uint8)
         conf = jnp.clip(jnp.max(scores, axis=1) * 255.0, 0, 255).astype(jnp.uint8)

@@ -47,3 +47,19 @@ def test_tiny_single_tile(rng):
     scores = rng.normal(size=(4, 5, 7)).astype(np.float32)
     m, c = argmax_conf_pallas(scores, interpret=True)
     np.testing.assert_array_equal(np.asarray(m), scores.argmax(0))
+
+
+def test_i420_preprocess_kernel_matches_reference_chain(rng):
+    """Fused YUV->normalized-RGB affine == the i420_to_rgbf + normalize
+    chain (gamut clip included)."""
+    from infur_tpu.ops.pallas_preprocess import i420_to_normalized_pallas
+    from infur_tpu.ops.preprocess import IMAGENET_MEAN_RGB, IMAGENET_STD_RGB
+    from infur_tpu.ops.yuv import bgr_to_i420, i420_to_rgbf
+
+    img = rng.integers(0, 255, (46, 62, 3), dtype=np.uint8)
+    flat = bgr_to_i420(img)
+    got = np.asarray(i420_to_normalized_pallas(flat, 46, 62, interpret=True))
+    rgbf = np.asarray(i420_to_rgbf(flat, 46, 62))
+    want = (rgbf - np.float32(IMAGENET_MEAN_RGB)) / np.float32(IMAGENET_STD_RGB)
+    assert got.shape == (46, 62, 3)
+    np.testing.assert_allclose(got, want, atol=2e-5)
