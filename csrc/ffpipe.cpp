@@ -178,7 +178,11 @@ void reader_loop(ffp_handle* h) {
     h->ring.cv_can_put.wait(lk, [&] {
       return h->ring.count < h->ring.slots.size() || h->closing.load();
     });
-    if (h->closing.load()) return;
+    if (h->closing.load()) {
+      h->ring.producer_done = true;
+      h->ring.cv_can_get.notify_all();
+      return;
+    }
     size_t slot = h->ring.tail;
     lk.unlock();
 
@@ -196,6 +200,12 @@ void reader_loop(ffp_handle* h) {
     if (!ok) {
       h->ring.producer_done = true;
       h->ring.producer_error = eof ? FFP_EOF : FFP_EREAD;
+      h->ring.cv_can_get.notify_all();
+      return;
+    }
+    if (h->closing.load()) {  // woken by close: release any blocked reader
+      h->ring.producer_done = true;
+      h->ring.producer_error = FFP_EOF;
       h->ring.cv_can_get.notify_all();
       return;
     }
@@ -334,7 +344,16 @@ int ffp_last_line(ffp_handle* h, char* buf, size_t n) {
 int ffp_close(ffp_handle* h) {
   if (!h) return FFP_EARG;
   if (h->closing.exchange(true)) return FFP_ECLOSED;
-  { std::lock_guard<std::mutex> lk(h->ring.mu); h->ring.cv_can_put.notify_all(); }
+  {
+    // release BOTH sides: the producer blocked on a full ring and any
+    // consumer blocked in ffp_read_frame on an empty one (the consumer's
+    // wait predicate sees producer_done and returns FFP_EOF)
+    std::lock_guard<std::mutex> lk(h->ring.mu);
+    h->ring.producer_done = true;
+    if (h->ring.producer_error == FFP_OK) h->ring.producer_error = FFP_EOF;
+    h->ring.cv_can_put.notify_all();
+    h->ring.cv_can_get.notify_all();
+  }
 
   ssize_t ignored = write(h->stdin_fd, "q", 1);
   (void)ignored;

@@ -45,9 +45,10 @@ def cmd_play(args: argparse.Namespace) -> int:
     if args.model is not None:
         cfg.model_input = args.model
     cfg.paused = False
-    cfg.pix_fmt = args.pix_fmt
+    if args.pix_fmt is not None:
+        cfg.pix_fmt = args.pix_fmt
     if args.model_bucket is not None:
-        cfg.model_bucket = args.model_bucket
+        cfg.model_bucket = args.model_bucket or None  # 0 disables
     if not cfg.video_input:
         print("error: no video input (give one or use --config)", file=sys.stderr)
         return 2
@@ -57,9 +58,14 @@ def cmd_play(args: argparse.Namespace) -> int:
     for cmd in cfg.commands():
         handle.send(cmd)
 
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
     counter = FrameCounter()
     n = 0
     exit_code = 0
+    state = {"eof": False}
+    # --timeout is an IDLE timeout: the longest gap between frames
+    # (refreshed on every frame, so long runs and slow compiles both work)
     deadline = time.monotonic() + args.timeout
     try:
         while n < args.max_frames:
@@ -67,7 +73,9 @@ def cmd_play(args: argparse.Namespace) -> int:
                 result = handle.frame_rx.get(timeout=0.5)
             except queue.Empty:
                 # also surface control-channel results while idle
-                _drain_ctrl(handle, args)
+                _drain_ctrl(handle, args, state)
+                if state["eof"] and n > 0:
+                    break  # clean end of stream: all frames delivered
                 if time.monotonic() > deadline:
                     print("timeout waiting for frames", file=sys.stderr)
                     exit_code = 2
@@ -79,6 +87,7 @@ def cmd_play(args: argparse.Namespace) -> int:
                 continue
             frame: GUIFrame = result
             n += 1
+            deadline = time.monotonic() + args.timeout
             counter.count(frame.id)
             if args.out:
                 img = frame.composited if frame.composited is not None \
@@ -89,7 +98,7 @@ def cmd_play(args: argparse.Namespace) -> int:
                 print(f"fps {stats.shown_fps:6.1f} shown "
                       f"{stats.received_fps:6.1f} recv "
                       f"{stats.drops:5.1f} drop", flush=True)
-            _drain_ctrl(handle, args)
+            _drain_ctrl(handle, args, state)
     finally:
         handle.stop()
     if args.save_config and args.config:
@@ -98,7 +107,7 @@ def cmd_play(args: argparse.Namespace) -> int:
     return exit_code
 
 
-def _drain_ctrl(handle, args) -> None:
+def _drain_ctrl(handle, args, state: dict | None = None) -> None:
     while True:
         try:
             r = handle.ctrl_result_rx.get_nowait()
@@ -106,7 +115,10 @@ def _drain_ctrl(handle, args) -> None:
             return
         if isinstance(r, InfurError):
             print(f"[{r.stage}] {r}", file=sys.stderr)
-        elif isinstance(r, AppInfo) and args.stats:
+        elif isinstance(r, AppInfo):
+            if state is not None and not r.playing:
+                state["eof"] = True
+        if isinstance(r, AppInfo) and args.stats:
             geo = r.geometry
             t = " ".join(f"{k}={v:.1f}ms"
                          for k, v in (r.timings_ms or {}).items())
@@ -181,12 +193,12 @@ def main(argv: list[str] | None = None) -> int:
     play.add_argument("--config", default=None, help="JSON config path")
     play.add_argument("--save-config", action="store_true")
     play.add_argument("--timeout", type=float, default=120.0)
-    play.add_argument("--pix-fmt", default="bgr24",
+    play.add_argument("--pix-fmt", default=None,
                       choices=["bgr24", "yuv420p"],
                       help="frame wire format (yuv420p halves H2D bytes)")
     play.add_argument("--model-bucket", type=int, default=None,
                       help="round model input dims up to this multiple "
-                      "(caps scale-slider recompiles)")
+                      "(caps scale-slider recompiles; 0 disables)")
     play.set_defaults(fn=cmd_play)
 
     info = sub.add_parser("info", help="introspect a model")

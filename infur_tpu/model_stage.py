@@ -117,23 +117,37 @@ class _OnnxBackend:
         return self.imported({self.input_name: x})
 
 
-class _NativeFcnBackend:
-    """Native family: "fcn_resnet50[:bf16][@/path/to/ckpt.npz]"."""
+class _NativeBackend:
+    """One backend for every native family, driven by a registry row.
 
-    def __init__(self, spec: str):
-        from infur_tpu.models import fcn_resnet50_apply, init_fcn_resnet50
+    Spec grammar: ``family[:opt[:opt...]][@checkpoint.npz]`` where ``bf16``
+    selects bfloat16 compute and any other opt must be a variant the family
+    declares (unknown opts are a typed error, not a silent default).
+    """
+
+    def __init__(self, spec: str, family: "_Family"):
         body, _, ckpt = spec.partition("@")
-        opts = body.split(":")[1:]
-        self.compute_dtype = "bfloat16" if "bf16" in opts else "float32"
+        opts = [o for o in body.split(":")[1:] if o]
+        self.compute_dtype = "float32"
+        variant = None
+        for o in opts:
+            if o == "bf16":
+                self.compute_dtype = "bfloat16"
+            elif o in family.variants:
+                variant = o
+            else:
+                raise ModelLoadError(
+                    f"unknown option {o!r} for {family.name} "
+                    f"(expected bf16 or one of {sorted(family.variants)})")
         if ckpt:
             from infur_tpu.runtime.checkpoint import load_params
             self.params = load_params(ckpt)
         else:
-            self.params = init_fcn_resnet50(jax.random.PRNGKey(0))
-        self._apply = fcn_resnet50_apply
+            self.params = family.init(jax.random.PRNGKey(0), variant)
+        self._apply = family.apply
         self.dims = (1, None, None, 3)
         self.np_dtype = np.dtype(np.float32)
-        self.output_names = ("out", "aux") if "aux_head" in self.params else ("out",)
+        self.output_names = family.outputs(self.params)
 
     def preproc(self, out_hw: tuple[int, int]) -> PreProc:
         return PreProc.imagenet(out_hw, layout="NHWC", channel_order="rgb",
@@ -143,58 +157,34 @@ class _NativeFcnBackend:
         return self._apply(self.params, x, compute_dtype=self.compute_dtype)
 
 
-class _NativeDeeplabBackend:
-    """Native family: "deeplabv3[:bf16][@ckpt.npz]" (ResNet-50 + ASPP)."""
-
-    def __init__(self, spec: str):
-        from infur_tpu.models import deeplabv3_apply, init_deeplabv3_resnet50
-        body, _, ckpt = spec.partition("@")
-        opts = body.split(":")[1:]
-        self.compute_dtype = "bfloat16" if "bf16" in opts else "float32"
-        if ckpt:
-            from infur_tpu.runtime.checkpoint import load_params
-            self.params = load_params(ckpt)
-        else:
-            self.params = init_deeplabv3_resnet50(jax.random.PRNGKey(0))
-        self._apply = deeplabv3_apply
-        self.dims = (1, None, None, 3)
-        self.np_dtype = np.dtype(np.float32)
-        self.output_names = ("out", "aux") if "aux_head" in self.params else ("out",)
-
-    def preproc(self, out_hw: tuple[int, int]) -> PreProc:
-        return PreProc.imagenet(out_hw, layout="NHWC", channel_order="rgb",
-                                compute_dtype=self.compute_dtype)
-
-    def __call__(self, x: jax.Array) -> dict[str, jax.Array]:
-        return self._apply(self.params, x, compute_dtype=self.compute_dtype)
+@dataclass(frozen=True)
+class _Family:
+    name: str
+    init: Any      # (key, variant|None) -> params
+    apply: Any     # (params, x_nhwc, compute_dtype=...) -> {name: NCHW}
+    variants: frozenset = frozenset()
+    outputs: Any = staticmethod(
+        lambda p: ("out", "aux") if "aux_head" in p else ("out",))
 
 
-class _NativeSegformerBackend:
-    """Native family: "segformer[:b0|b1|b2][:bf16][@ckpt.npz]"."""
-
-    def __init__(self, spec: str):
-        from infur_tpu.models import init_segformer, segformer_apply
-        body, _, ckpt = spec.partition("@")
-        opts = body.split(":")[1:]
-        variant = next((o for o in opts if o in ("b0", "b1", "b2")), "b0")
-        self.compute_dtype = "bfloat16" if "bf16" in opts else "float32"
-        if ckpt:
-            from infur_tpu.runtime.checkpoint import load_params
-            self.params = load_params(ckpt)
-        else:
-            self.params = init_segformer(jax.random.PRNGKey(0),
-                                         variant=variant)
-        self._apply = segformer_apply
-        self.dims = (1, None, None, 3)
-        self.np_dtype = np.dtype(np.float32)
-        self.output_names = ("out",)
-
-    def preproc(self, out_hw: tuple[int, int]) -> PreProc:
-        return PreProc.imagenet(out_hw, layout="NHWC", channel_order="rgb",
-                                compute_dtype=self.compute_dtype)
-
-    def __call__(self, x: jax.Array) -> dict[str, jax.Array]:
-        return self._apply(self.params, x, compute_dtype=self.compute_dtype)
+def _families() -> dict[str, _Family]:
+    from infur_tpu.models import (
+        deeplabv3_apply, fcn_resnet50_apply, init_deeplabv3_resnet50,
+        init_fcn_resnet50, init_segformer, segformer_apply,
+    )
+    return {
+        "fcn_resnet50": _Family(
+            "fcn_resnet50", lambda k, v: init_fcn_resnet50(k),
+            fcn_resnet50_apply),
+        "deeplabv3": _Family(
+            "deeplabv3", lambda k, v: init_deeplabv3_resnet50(k),
+            deeplabv3_apply),
+        "segformer": _Family(
+            "segformer",
+            lambda k, v: init_segformer(k, variant=v or "b0"),
+            segformer_apply, variants=frozenset({"b0", "b1", "b2"}),
+            outputs=staticmethod(lambda p: ("out",))),
+    }
 
 
 def _open_backend(spec: str):
@@ -204,12 +194,9 @@ def _open_backend(spec: str):
         except (OSError, ValueError) as e:
             raise ModelLoadError(f"cannot load {spec!r}: {e}") from e
     family = spec.split(":")[0].split("@")[0]
-    if family == "fcn_resnet50":
-        return _NativeFcnBackend(spec)
-    if family == "segformer":
-        return _NativeSegformerBackend(spec)
-    if family == "deeplabv3":
-        return _NativeDeeplabBackend(spec)
+    families = _families()
+    if family in families:
+        return _NativeBackend(spec, families[family])
     raise ModelLoadError(
         f"unknown model spec {spec!r} (expected *.onnx or a native family)")
 

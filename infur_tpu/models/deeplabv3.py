@@ -18,8 +18,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from infur_tpu.models.fcn_resnet50 import (
-    NUM_CLASSES, _bn, _bn_init, _bottleneck, _conv, _conv_init, _head,
-    _maxpool_3x3s2, _upsample_bilinear, _STAGES,
+    NUM_CLASSES, _bn, _bn_init, _conv, _conv_init, _head,
+    _upsample_bilinear, backbone_features,
 )
 
 ASPP_RATES = (12, 24, 36)  # torchvision rates at output-stride 8
@@ -75,19 +75,7 @@ def deeplabv3_apply(params: dict[str, Any], x_nhwc: jax.Array,
     with jax.default_matmul_precision(
             "highest" if compute_dtype == "float32" else "default"):
         n, h, w, _ = x_nhwc.shape
-        x = x_nhwc.astype(compute_dtype)
-        x = jax.nn.relu(_bn(_conv(x, params["stem_conv"].astype(x.dtype),
-                                  stride=2), params["stem_bn"]))
-        x = _maxpool_3x3s2(x)
-        stage_cfg = ((1, 1), (2, 1), (1, 2), (1, 4))
-        feats: dict[str, jax.Array] = {}
-        for si, (stride, dilation) in enumerate(stage_cfg):
-            for bi, bp in enumerate(params[f"layer{si + 1}"]):
-                d_first = max(dilation // 2, 1) \
-                    if stride == 1 and dilation > 1 else 1
-                x = _bottleneck(x, bp, stride if bi == 0 else 1,
-                                (d_first if bi == 0 else dilation))
-            feats[f"layer{si + 1}"] = x
+        feats = backbone_features(params, x_nhwc, compute_dtype)
 
         out = _aspp(feats["layer4"], params["aspp"])
         out = _upsample_bilinear(out, (h, w)).astype(jnp.float32)

@@ -181,27 +181,32 @@ def fcn_resnet50_apply(params: dict[str, Any], x_nhwc: jax.Array,
         return _fcn_forward(params, x_nhwc, compute_dtype)
 
 
-def _fcn_forward(params: dict[str, Any], x_nhwc: jax.Array,
-                 compute_dtype: str) -> dict[str, jax.Array]:
-    n, h, w, _ = x_nhwc.shape
+def backbone_features(params: dict[str, Any], x_nhwc: jax.Array,
+                      compute_dtype: str) -> dict[str, jax.Array]:
+    """The shared output-stride-8 dilated ResNet-50 walk: stem + 4 stages
+    (layer1 s1, layer2 s2, layer3 s1/d2, layer4 s1/d4), returning each
+    stage's NHWC features.  Used by the FCN and DeepLabV3 heads."""
     x = x_nhwc.astype(compute_dtype)
-
     x = jax.nn.relu(_bn(_conv(x, params["stem_conv"].astype(x.dtype), stride=2),
                         params["stem_bn"]))
     x = _maxpool_3x3s2(x)
-
-    # Output-stride 8: layer1 s1, layer2 s2, layer3 s1/d2, layer4 s1/d4.
     stage_cfg = ((1, 1), (2, 1), (1, 2), (1, 4))
     feats: dict[str, jax.Array] = {}
     for si, (stride, dilation) in enumerate(stage_cfg):
-        blocks = params[f"layer{si + 1}"]
-        for bi, bp in enumerate(blocks):
+        for bi, bp in enumerate(params[f"layer{si + 1}"]):
             # torchvision dilated stages: first block keeps the PREVIOUS
             # dilation in its 3x3 (stride replaced), later blocks use the new.
             d_first = max(dilation // 2, 1) if stride == 1 and dilation > 1 else 1
             x = _bottleneck(x, bp, stride if bi == 0 else 1,
                             (d_first if bi == 0 else dilation))
         feats[f"layer{si + 1}"] = x
+    return feats
+
+
+def _fcn_forward(params: dict[str, Any], x_nhwc: jax.Array,
+                 compute_dtype: str) -> dict[str, jax.Array]:
+    n, h, w, _ = x_nhwc.shape
+    feats = backbone_features(params, x_nhwc, compute_dtype)
 
     out = _head(feats["layer4"], params["head"])
     out = _upsample_bilinear(out, (h, w)).astype(jnp.float32)

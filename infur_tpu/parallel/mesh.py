@@ -78,17 +78,13 @@ def shard_batch(mesh: Mesh) -> NamedSharding:
 
 def segmentation_loss(params: Any, x_nhwc: jax.Array, labels_nhw: jax.Array,
                       aux_weight: float = 0.4) -> jax.Array:
-    """Pixel cross-entropy on out (+ aux, torchvision training recipe)."""
-    from infur_tpu.models.fcn_resnet50 import _fcn_forward
-    logits = _fcn_forward(params, x_nhwc, "float32")
-    def ce(nchw):
-        logp = jax.nn.log_softmax(nchw, axis=1)
-        picked = jnp.take_along_axis(logp, labels_nhw[:, None], axis=1)
-        return -picked.mean()
-    loss = ce(logits["out"])
-    if "aux" in logits:
-        loss = loss + aux_weight * ce(logits["aux"])
-    return loss
+    """Pixel cross-entropy on out (+ aux); delegates to the shared
+    implementation so the f32 matmul-precision pin and void-label masking
+    match the finetune path exactly."""
+    from infur_tpu.models import fcn_resnet50_apply
+    from infur_tpu.train import segmentation_ce
+    return segmentation_ce(lambda p, x: fcn_resnet50_apply(p, x),
+                           params, x_nhwc, labels_nhw, aux_weight)
 
 
 @partial(jax.jit, static_argnames=("lr",), donate_argnums=(0,))

@@ -42,6 +42,7 @@ def proc_loop(ctrl_rx: "queue.Queue[AppCmd | None]",
     if app is None:
         app = ProcessingApp()  # constructed on this thread (main.rs:38-40)
     state_change = True  # announce initial state
+    last_playing: bool | None = None
     try:
         while not app.to_exit:
             if state_change:
@@ -92,8 +93,17 @@ def proc_loop(ctrl_rx: "queue.Queue[AppCmd | None]",
                 continue
             if frame is not None:
                 frame_tx.put(frame)  # blocks on backpressure (main.rs:86-88)
+
+            # EOF isn't a command, but frontends need to see playing flip
+            playing = app.vid.geometry is not None
+            if playing != last_playing:
+                last_playing = playing
+                app_tx.put(app.info())
     finally:
-        app.close()
+        try:
+            app.close()
+        except Exception:
+            pass  # closing a wedged decoder must not kill the thread exit
 
 
 @dataclass

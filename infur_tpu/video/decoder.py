@@ -184,8 +184,10 @@ class FfmpegPipeDecoder:
 
     def read_frame_into(self, img: np.ndarray) -> int:
         n = frame_nbytes(self.pix_fmt, self.width, self.height)
-        if img.nbytes != n:
-            raise VideoReadError(f"output buffer is {img.nbytes} B, frame is {n} B")
+        if img.nbytes != n or not img.flags.c_contiguous:
+            raise VideoReadError(
+                f"need a contiguous {n}-byte buffer, got {img.nbytes} B "
+                f"(contiguous={img.flags.c_contiguous})")
         view = memoryview(img.reshape(-1).view(np.uint8))
         got = 0
         while got < n:
@@ -218,8 +220,15 @@ class FfmpegPipeDecoder:
         except OSError:
             pass
         self._proc.stdin.close()
-        rc = self._proc.wait(timeout=10)
-        self._info_thread.join(timeout=2)
+        try:
+            rc = self._proc.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            self._proc.kill()
+            self._proc.wait()
+            raise VideoReadError(
+                f"ffmpeg did not exit after 'q': {self._parser.state()!r}")
+        finally:
+            self._info_thread.join(timeout=2)
         if rc not in (0, 255):  # 255 = interrupted by 'q', normal for live inputs
             raise VideoReadError(f"ffmpeg exit code {rc}: {self._parser.state()!r}")
 

@@ -149,8 +149,10 @@ class RvfReader:
         :class:`VideoReadError` on a truncated frame.
         """
         n = self.header.frame_bytes
-        if img.nbytes != n:
-            raise VideoReadError(f"output buffer is {img.nbytes} B, frame is {n} B")
+        if img.nbytes != n or not img.flags.c_contiguous:
+            raise VideoReadError(
+                f"need a contiguous {n}-byte buffer, got {img.nbytes} B "
+                f"(contiguous={img.flags.c_contiguous})")
         got = self._f.readinto(memoryview(img.reshape(-1).view(np.uint8)))
         if got == 0:
             raise VideoEOF("end of RVF stream")

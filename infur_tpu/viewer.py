@@ -85,7 +85,13 @@ class ViewerState:
 
     def pump(self) -> None:
         """Consume the frame channel (the GUI-thread role, gui.rs:169-192)."""
-        from PIL import Image
+        try:
+            from PIL import Image
+        except ImportError as e:
+            with self.lock:
+                self.stages["display"] = f"Pillow unavailable: {e}"
+                self.errors.appendleft(f"display: Pillow unavailable: {e}")
+            return
         while self.running:
             try:
                 r = self.handle.frame_rx.get(timeout=0.03)
@@ -98,9 +104,17 @@ class ViewerState:
                     self.errors.appendleft(f"{time.strftime('%H:%M:%S')} {r}")
                 continue
             frame: GUIFrame = r
-            img = frame.composited if frame.composited is not None else frame.buffer
-            buf = io.BytesIO()
-            Image.fromarray(np.asarray(img), "RGBA").save(buf, "PNG")
+            try:
+                img = frame.composited if frame.composited is not None \
+                    else frame.buffer
+                buf = io.BytesIO()
+                Image.fromarray(np.asarray(img), "RGBA").save(buf, "PNG")
+            except Exception as e:  # encode failure must not kill the pump
+                with self.lock:
+                    self.stages["display"] = f"{type(e).__name__}: {e}"
+                    self.errors.appendleft(
+                        f"{time.strftime('%H:%M:%S')} display: {e}")
+                continue
             with self.lock:
                 self.png = buf.getvalue()
                 self.counter.count(frame.id)

@@ -54,3 +54,10 @@ def test_model_stage_family():
 def test_variant_dims():
     p1 = init_segformer(jax.random.PRNGKey(0), variant="b1")
     assert p1["stage1"]["patch_conv"].shape[-1] == 64
+
+
+def test_unknown_variant_opt_is_typed_error():
+    from infur_tpu.errors import ModelLoadError
+    from infur_tpu.model_stage import Load, ModelStage
+    with pytest.raises(ModelLoadError, match="unknown option"):
+        ModelStage().control(Load("segformer:b3"))  # typo'd variant
