@@ -64,10 +64,13 @@ AppCmd = Union[VideoCmd, ScaleCmd, ModelCmd, Exit]
 class GUIFrame:
     """One display-ready result (reference GUIFrame, app.rs:84-90).
 
-    ``buffer``: scaled frame as (h, w, 4) RGBA u8 — device array.
+    ``buffer``: scaled frame as (h, w, 4) RGBA u8.
     ``decoded``: color-coded mask (h', w', 4) RGBA u8, or None w/o model.
     ``composited``: mask alpha-blended over scaled frame, or None.
-    All are ``jax.Array``s; call ``np.asarray`` to materialize on host.
+    Fresh from ``ProcessingApp.advance`` these are lazy ``jax.Array``s;
+    the scheduler loop materializes them to numpy on the device thread
+    before they cross to frontends (runtime/loop.py) — the transport is
+    not safe for cross-thread fetches.
     """
     id: int
     buffer: jax.Array

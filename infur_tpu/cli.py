@@ -90,10 +90,10 @@ def cmd_play(args: argparse.Namespace) -> int:
             deadline = time.monotonic() + args.timeout
             counter.count(frame.id)
             if args.out:
+                from infur_tpu.runtime.devlock import fetch
                 img = frame.composited if frame.composited is not None \
                     else frame.buffer
-                _save_png(f"{args.out}/frame_{frame.id:06d}.png",
-                          np.asarray(img))
+                _save_png(f"{args.out}/frame_{frame.id:06d}.png", fetch(img))
             if args.stats and (stats := counter.stats()) is not None:
                 print(f"fps {stats.shown_fps:6.1f} shown "
                       f"{stats.received_fps:6.1f} recv "

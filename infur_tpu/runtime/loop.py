@@ -83,8 +83,23 @@ def proc_loop(ctrl_rx: "queue.Queue[AppCmd | None]",
                 state_change = False
 
             # -- generate one frame; errors are values --
+            # Device dispatch AND the D2H materialization both happen on
+            # THIS thread: the relay transport misbehaves when one thread
+            # fetches arrays another thread dispatched (see runtime.devlock
+            # and BENCH_NOTES.md), and frontends must only ever see host
+            # arrays.  This also matches the reference's GUIFrame, which
+            # carries host buffers (app.rs:84-90).
+            from infur_tpu.runtime.devlock import device_lock
             try:
-                frame = app.generate()
+                with device_lock:
+                    frame = app.generate()
+                    if frame is not None:
+                        import numpy as _np
+                        frame.buffer = _np.asarray(frame.buffer)
+                        if frame.decoded is not None:
+                            frame.decoded = _np.asarray(frame.decoded)
+                        if frame.composited is not None:
+                            frame.composited = _np.asarray(frame.composited)
             except InfurError as e:
                 frame_tx.put(e)
                 continue

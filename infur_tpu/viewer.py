@@ -105,10 +105,11 @@ class ViewerState:
                 continue
             frame: GUIFrame = r
             try:
+                from infur_tpu.runtime.devlock import fetch
                 img = frame.composited if frame.composited is not None \
                     else frame.buffer
                 buf = io.BytesIO()
-                Image.fromarray(np.asarray(img), "RGBA").save(buf, "PNG")
+                Image.fromarray(fetch(img), "RGBA").save(buf, "PNG")
             except Exception as e:  # encode failure must not kill the pump
                 with self.lock:
                     self.stages["display"] = f"{type(e).__name__}: {e}"
