@@ -9,6 +9,7 @@ multi-host checkpoints later; this flat format is the portable baseline.)
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import numpy as np
@@ -59,5 +60,27 @@ def save_params(path: str, params: Any) -> None:
 
 
 def load_params(path: str) -> Any:
+    if os.path.isdir(path):
+        return load_params_orbax(path)
     with np.load(path) as z:
         return _unflatten({k: z[k] for k in z.files})
+
+
+# -- orbax backend: sharded/async checkpoints for multi-chip params --------
+
+def save_params_orbax(path: str, params: Any) -> None:
+    """Checkpoint a (possibly NamedSharding-sharded) params pytree with
+    orbax — each host writes its shards; restores re-shard on load."""
+    import orbax.checkpoint as ocp
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), params, force=True)
+
+
+def load_params_orbax(path: str, like: Any = None) -> Any:
+    """Restore an orbax checkpoint directory; ``like`` (a pytree of arrays
+    or ShapeDtypeStructs with shardings) controls placement on restore."""
+    import orbax.checkpoint as ocp
+    with ocp.StandardCheckpointer() as ckptr:
+        if like is None:
+            return ckptr.restore(os.path.abspath(path))
+        return ckptr.restore(os.path.abspath(path), like)

@@ -102,3 +102,19 @@ def test_initial_appinfo_announced_without_commands():
     r = h.ctrl_result_rx.get(timeout=5)
     assert hasattr(r, "scale")  # an AppInfo, unprompted
     h.stop()
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Sharded-capable orbax backend; load_params auto-detects directories."""
+    import jax
+
+    from infur_tpu.runtime.checkpoint import save_params_orbax
+
+    params = {"w": np.arange(12.0).reshape(3, 4),
+              "blocks": [{"b": np.ones(2, np.float32)}]}
+    params = jax.tree.map(jax.numpy.asarray, params)
+    p = str(tmp_path / "orbax_ckpt")
+    save_params_orbax(p, params)
+    back = load_params(p)  # directory -> orbax path
+    np.testing.assert_array_equal(np.asarray(back["w"]), np.asarray(params["w"]))
+    np.testing.assert_array_equal(np.asarray(back["blocks"][0]["b"]), np.ones(2))
