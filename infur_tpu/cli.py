@@ -71,6 +71,9 @@ def cmd_play(args: argparse.Namespace) -> int:
         while n < args.max_frames:
             try:
                 result = handle.frame_rx.get(timeout=0.5)
+            except KeyboardInterrupt:
+                print("\ninterrupted — stopping", file=sys.stderr)
+                break
             except queue.Empty:
                 # also surface control-channel results while idle
                 _drain_ctrl(handle, args, state)
