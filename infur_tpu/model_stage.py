@@ -256,14 +256,38 @@ class ModelStage(Processor[ModelCmd, Frame, Prediction]):
         if self.bucket:
             th = -(-h // self.bucket) * self.bucket
             tw = -(-w // self.bucket) * self.bucket
+        cfg = b.preproc((th, tw))
         if inp.fmt == "i420":
-            # decode-native path: color-convert on device, then the same
-            # normalize/layout chain (one XLA fusion either way)
+            from infur_tpu.ops import on_tpu
+            if (on_tpu() and cfg.dtype == "f32" and cfg.layout == "NHWC"
+                    and cfg.channel_order == "rgb"):
+                # fused Pallas ingest: YUV -> clipped RGB -> normalized,
+                # one kernel pass (the bench path's kernel), then the
+                # optional bucket resize as a static gather
+                from infur_tpu.ops.pallas_preprocess import (
+                    i420_to_normalized_pallas,
+                )
+                x = i420_to_normalized_pallas(
+                    jnp.asarray(inp.img), h, w, mean=cfg.mean, std=cfg.std,
+                    compute_dtype=cfg.compute_dtype)
+                if (th, tw) != (h, w):
+                    from infur_tpu.ops.preprocess import _nearest_indices
+                    ys = jnp.asarray(_nearest_indices(th, h))
+                    xs = jnp.asarray(_nearest_indices(tw, w))
+                    x = x[ys[:, None], xs[None, :]]
+                outputs = b(x[None])
+                pred = out.value if isinstance(out.value, Prediction) \
+                    else Prediction()
+                pred.frame_id = inp.id
+                pred.outputs = {k: v[0] for k, v in outputs.items()}
+                out.value = pred
+                return
+            # fallback: color-convert on device, then the standard chain
             from infur_tpu.ops.yuv import i420_to_bgr
             frame_dev = i420_to_bgr(jnp.asarray(inp.img), h, w)
         else:
             frame_dev = jnp.asarray(inp.img)
-        x = preprocess(frame_dev, b.preproc((th, tw)))
+        x = preprocess(frame_dev, cfg)
         outputs = b(x)
         pred = out.value if isinstance(out.value, Prediction) else Prediction()
         pred.frame_id = inp.id
