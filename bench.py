@@ -51,8 +51,30 @@ def _fixture_path() -> str:
     return path
 
 
+def _emit(fps: float) -> None:
+    print(json.dumps({
+        "metric": "e2e_fps_1080p_fcn_resnet50_scale0.5",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }), flush=True)
+
+
 def main() -> int:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+    # The relay transport can wedge mid-run (device fetches that never
+    # complete — BENCH_NOTES.md).  A watchdog guarantees the driver still
+    # gets a result line: the best completed round so far, or 0.
+    import threading
+    best_so_far: list[float] = []
+
+    def _watchdog():
+        _emit(max(best_so_far, default=0.0))
+        os._exit(0)
+
+    timer = threading.Timer(480.0, _watchdog)
+    timer.daemon = True
+    timer.start()
     import jax
     import jax.numpy as jnp
 
@@ -100,11 +122,11 @@ def main() -> int:
         composites on device via the Pallas kernel).  int16 math, minimal
         temporaries."""
         yplane = small_yuv[:, : oh * ow].reshape(-1, oh, ow)
-        rgb = palette[mask % len(palette)].astype(np.int16)
-        a = conf.astype(np.int16)[..., None]
-        base = yplane[..., None].astype(np.int16)  # broadcast gray
+        rgb = palette[mask % len(palette)].astype(np.int32)
+        a = conf.astype(np.int32)[..., None]
+        base = yplane[..., None].astype(np.int32)  # broadcast gray
         rgb -= base
-        rgb *= a
+        rgb *= a          # up to +-255*255: needs int32, int16 would wrap
         rgb //= 255
         rgb += base
         return rgb.astype(np.uint8)
@@ -146,15 +168,12 @@ def main() -> int:
             f.result()
         return n_frames / (time.perf_counter() - t0)
 
-    fps = max(run_round() for _ in range(ROUNDS))
+    for _ in range(ROUNDS):
+        best_so_far.append(run_round())
+    fps = max(best_so_far)
     pool.shutdown()
-
-    print(json.dumps({
-        "metric": "e2e_fps_1080p_fcn_resnet50_scale0.5",
-        "value": round(fps, 2),
-        "unit": "fps",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
-    }))
+    timer.cancel()
+    _emit(fps)
     return 0
 
 

@@ -63,7 +63,7 @@ def cmd_play(args: argparse.Namespace) -> int:
     counter = FrameCounter()
     n = 0
     exit_code = 0
-    state = {"eof": False}
+    state = {"eof": False, "was_playing": False}
     # --timeout is an IDLE timeout: the longest gap between frames
     # (refreshed on every frame, so long runs and slow compiles both work)
     deadline = time.monotonic() + args.timeout
@@ -87,16 +87,22 @@ def cmd_play(args: argparse.Namespace) -> int:
             if isinstance(result, InfurError):
                 print(f"[{result.stage}] {result}", file=sys.stderr)
                 exit_code = 1
+                if time.monotonic() > deadline:  # persistent per-frame errors
+                    print("giving up: errors without frames for "
+                          f"{args.timeout:.0f}s", file=sys.stderr)
+                    break
                 continue
             frame: GUIFrame = result
             n += 1
             deadline = time.monotonic() + args.timeout
             counter.count(frame.id)
             if args.out:
-                from infur_tpu.runtime.devlock import fetch
+                # frames arrive host-materialized (runtime/loop.py), so no
+                # device lock is needed here
                 img = frame.composited if frame.composited is not None \
                     else frame.buffer
-                _save_png(f"{args.out}/frame_{frame.id:06d}.png", fetch(img))
+                _save_png(f"{args.out}/frame_{frame.id:06d}.png",
+                          np.asarray(img))
             if args.stats and (stats := counter.stats()) is not None:
                 print(f"fps {stats.shown_fps:6.1f} shown "
                       f"{stats.received_fps:6.1f} recv "
@@ -119,8 +125,11 @@ def _drain_ctrl(handle, args, state: dict | None = None) -> None:
         if isinstance(r, InfurError):
             print(f"[{r.stage}] {r}", file=sys.stderr)
         elif isinstance(r, AppInfo):
-            if state is not None and not r.playing:
-                state["eof"] = True
+            if state is not None:
+                if r.playing:
+                    state["was_playing"] = True
+                elif state["was_playing"]:
+                    state["eof"] = True  # True -> False = end of stream
         if isinstance(r, AppInfo) and args.stats:
             geo = r.geometry
             t = " ".join(f"{k}={v:.1f}ms"
@@ -140,6 +149,10 @@ def cmd_info(args: argparse.Namespace) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 1
     info = stage.info()
+    if info is None:
+        print("error: empty model spec (nothing to introspect)",
+              file=sys.stderr)
+        return 1
     print(f"spec:    {info.spec}")
     print(f"layout:  {info.layout}  dtype: {info.dtype}")
     print(f"outputs: {', '.join(info.outputs)}")

@@ -191,7 +191,9 @@ def _open_backend(spec: str):
     if spec.endswith(".onnx"):
         try:
             return _OnnxBackend(spec)
-        except (OSError, ValueError) as e:
+        except (ModelLoadError, ModelInputFormatError):
+            raise
+        except Exception as e:  # parse/dtype/shape errors become typed
             raise ModelLoadError(f"cannot load {spec!r}: {e}") from e
     family = spec.split(":")[0].split("@")[0]
     families = _families()
@@ -275,19 +277,13 @@ class ModelStage(Processor[ModelCmd, Frame, Prediction]):
                     ys = jnp.asarray(_nearest_indices(th, h))
                     xs = jnp.asarray(_nearest_indices(tw, w))
                     x = x[ys[:, None], xs[None, :]]
-                outputs = b(x[None])
-                pred = out.value if isinstance(out.value, Prediction) \
-                    else Prediction()
-                pred.frame_id = inp.id
-                pred.outputs = {k: v[0] for k, v in outputs.items()}
-                out.value = pred
-                return
-            # fallback: color-convert on device, then the standard chain
-            from infur_tpu.ops.yuv import i420_to_bgr
-            frame_dev = i420_to_bgr(jnp.asarray(inp.img), h, w)
+                x = x[None]
+            else:
+                # fallback: color-convert on device, then the standard chain
+                from infur_tpu.ops.yuv import i420_to_bgr
+                x = preprocess(i420_to_bgr(jnp.asarray(inp.img), h, w), cfg)
         else:
-            frame_dev = jnp.asarray(inp.img)
-        x = preprocess(frame_dev, cfg)
+            x = preprocess(jnp.asarray(inp.img), cfg)
         outputs = b(x)
         pred = out.value if isinstance(out.value, Prediction) else Prediction()
         pred.frame_id = inp.id

@@ -63,10 +63,14 @@ setInterval(()=>{document.getElementById('frame').src='/frame.png?'+Date.now()},
 setInterval(async()=>{const s=await(await fetch('/state')).json();
   document.getElementById('stats').textContent=
     `shown ${s.shown_fps.toFixed(1)} fps · recv ${s.received_fps.toFixed(1)} · drops ${s.drops.toFixed(1)}`;
-  document.getElementById('status').innerHTML=Object.entries(s.stages)
-    .map(([k,v])=>`<span class=stage>${k}</span>: ${v}`).join(' · ');
-  document.getElementById('errors').innerHTML=
-    s.errors.map(e=>`<div class=err>${e}</div>`).join('');},500);
+  const status=document.getElementById('status'); status.replaceChildren();
+  Object.entries(s.stages).forEach(([k,v],i)=>{
+    if(i) status.append(' · ');
+    const tag=document.createElement('span'); tag.className='stage';
+    tag.textContent=k; status.append(tag, ': '+v);});
+  const errs=document.getElementById('errors'); errs.replaceChildren(
+    ...s.errors.map(e=>{const d=document.createElement('div');
+      d.className='err'; d.textContent=e; return d;}));},500);
 </script></body></html>"""
 
 
@@ -105,11 +109,12 @@ class ViewerState:
                 continue
             frame: GUIFrame = r
             try:
-                from infur_tpu.runtime.devlock import fetch
+                # frames arrive host-materialized (runtime/loop.py): no
+                # device access happens on this thread
                 img = frame.composited if frame.composited is not None \
                     else frame.buffer
                 buf = io.BytesIO()
-                Image.fromarray(fetch(img), "RGBA").save(buf, "PNG")
+                Image.fromarray(np.asarray(img), "RGBA").save(buf, "PNG")
             except Exception as e:  # encode failure must not kill the pump
                 with self.lock:
                     self.stages["display"] = f"{type(e).__name__}: {e}"
@@ -201,12 +206,21 @@ def make_handler(state: ViewerState):
             if self.path != "/cmd":
                 self._send(404, b"not found", "text/plain")
                 return
+            # reject cross-origin browser posts (drive-by command injection);
+            # same-origin fetches and originless clients (curl) are fine
+            origin = self.headers.get("Origin")
+            host = self.headers.get("Host", "")
+            if origin and origin.split("//")[-1] != host:
+                self._send(403, b"cross-origin commands rejected", "text/plain")
+                return
             n = int(self.headers.get("Content-Length", 0))
             try:
                 cmd = json.loads(self.rfile.read(n) or b"{}")
+                if not isinstance(cmd, dict):
+                    raise ValueError("command must be a JSON object")
                 state.apply_cmd(cmd)
                 self._send(200, b"ok", "text/plain")
-            except (ValueError, KeyError) as e:
+            except Exception as e:  # malformed shapes answer 400, not EOF
                 self._send(400, f"bad command: {e}".encode(), "text/plain")
 
     return Handler

@@ -88,3 +88,23 @@ def test_command_error_routed_to_errors(viewer_url):
         time.sleep(0.1)
     assert any("bogus_family" in e for e in state["errors"])
     assert "model" in state["stages"]
+
+
+def test_malformed_but_valid_json_is_400(viewer_url):
+    import urllib.error
+    for body in (b'{"scale": null}', b'[1]', b'{"video": 42}'):
+        req = urllib.request.Request(viewer_url + "/cmd", data=body,
+                                     method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=5)
+        assert ei.value.code == 400, body
+
+
+def test_cross_origin_post_rejected(viewer_url):
+    import urllib.error
+    req = urllib.request.Request(
+        viewer_url + "/cmd", data=b'{"paused": true}', method="POST",
+        headers={"Origin": "http://evil.example"})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=5)
+    assert ei.value.code == 403
