@@ -598,19 +598,65 @@ def _jdequantize_linear(attrs, x, scale, zp=None):
         z = z.reshape(shape)
     return ((x.astype(jnp.int32) - z).astype(jnp.float32) * s)
 
+def _const_all_zero(v) -> bool:
+    """True iff v is a compile-time constant that is identically zero."""
+    return (isinstance(v, (np.ndarray, np.generic, int))
+            and bool(np.all(np.asarray(v) == 0)))
+
+
+def _int8_mxu_enabled() -> bool:
+    """INFUR_INT8_MXU=0 disables the int8-operand QLinear lowering
+    (A/B escape hatch; the int32 fallback is always available)."""
+    import os
+    return os.environ.get("INFUR_INT8_MXU", "1") != "0"
+
+
 @jop("QLinearConv")
 def _jqlinear_conv(attrs, x, x_scale, x_zp, w, w_scale, w_zp, y_scale, y_zp, b=None):
     strides, dilations, groups, pads = _conv_params(attrs, x, w)
-    xi = x.astype(jnp.int32) - jnp.asarray(x_zp, jnp.int32)
-    wz = jnp.asarray(w_zp, jnp.int32)
-    if wz.ndim == 1 and wz.size > 1:
-        wz = wz.reshape(-1, 1, 1, 1)
-    wi = w.astype(jnp.int32) - wz
-    dn = lax.conv_dimension_numbers(xi.shape, wi.shape, ("NCHW", "OIHW", "NCHW"))
-    acc = lax.conv_general_dilated(
-        xi, wi, window_strides=strides, padding=pads, rhs_dilation=dilations,
-        dimension_numbers=dn, feature_group_count=groups,
-        preferred_element_type=jnp.int32)
+    x = jnp.asarray(x)
+    w = jnp.asarray(w)
+    dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NCHW", "OIHW", "NCHW"))
+    if (w.dtype == jnp.int8 and _const_all_zero(w_zp)
+            and x.dtype in (jnp.uint8, jnp.int8)
+            and np.size(x_zp) <= 1 and _int8_mxu_enabled()):
+        # MXU-native path: keep both operands 8-bit so XLA emits an int8
+        # systolic-array conv (casting to int32 first forces a slow wide
+        # conv).  A u8 activation is rebased to s8 by subtracting 128; the
+        # zero-point (and the rebase) is restored exactly with one integer
+        # correction conv of an all-ones single-channel-per-group map
+        # against the kernel's input-channel sums — spatially varying only
+        # where padding windows clip, which the ones-map conv reproduces.
+        shift = 128 if x.dtype == jnp.uint8 else 0
+        x8 = (x.astype(jnp.int32) - shift).astype(jnp.int8) if shift else x
+        acc = lax.conv_general_dilated(
+            x8, w, window_strides=strides, padding=pads,
+            rhs_dilation=dilations, dimension_numbers=dn,
+            feature_group_count=groups, preferred_element_type=jnp.int32)
+        delta = shift - jnp.asarray(x_zp, jnp.int32).reshape(())
+        skip_corr = (isinstance(x_zp, (np.ndarray, np.generic, int))
+                     and int(np.asarray(x_zp).reshape(())) == shift)
+        if not skip_corr:
+            ones = jnp.ones((1, groups) + x.shape[2:], jnp.int32)
+            wsum = w.astype(jnp.int32).sum(axis=1, keepdims=True)
+            k = lax.conv_general_dilated(
+                ones, wsum, window_strides=strides, padding=pads,
+                rhs_dilation=dilations,
+                dimension_numbers=lax.conv_dimension_numbers(
+                    ones.shape, wsum.shape, ("NCHW", "OIHW", "NCHW")),
+                feature_group_count=groups,
+                preferred_element_type=jnp.int32)
+            acc = acc + delta * k
+    else:
+        xi = x.astype(jnp.int32) - jnp.asarray(x_zp, jnp.int32)
+        wz = jnp.asarray(w_zp, jnp.int32)
+        if wz.ndim == 1 and wz.size > 1:
+            wz = wz.reshape(-1, 1, 1, 1)
+        wi = w.astype(jnp.int32) - wz
+        acc = lax.conv_general_dilated(
+            xi, wi, window_strides=strides, padding=pads,
+            rhs_dilation=dilations, dimension_numbers=dn,
+            feature_group_count=groups, preferred_element_type=jnp.int32)
     if b is not None:
         acc = acc + jnp.asarray(b, jnp.int32).reshape(1, -1, 1, 1)
     sx = jnp.asarray(x_scale, jnp.float32)
@@ -626,9 +672,26 @@ def _jqlinear_conv(attrs, x, x_scale, x_zp, w, w_scale, w_zp, y_scale, y_zp, b=N
 
 @jop("QLinearMatMul")
 def _jqlinear_matmul(attrs, a, a_scale, a_zp, b, b_scale, b_zp, y_scale, y_zp):
-    ai = a.astype(jnp.int32) - jnp.asarray(a_zp, jnp.int32)
-    bi = b.astype(jnp.int32) - jnp.asarray(b_zp, jnp.int32)
-    acc = jnp.matmul(ai, bi, preferred_element_type=jnp.int32)
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    if (b.dtype == jnp.int8 and _const_all_zero(b_zp)
+            and a.dtype in (jnp.uint8, jnp.int8)
+            and np.size(a_zp) <= 1 and _int8_mxu_enabled()):
+        # int8 MXU path (see QLinearConv): rebase u8 -> s8, correct the
+        # zero-point with the contraction-axis column sums of b.
+        shift = 128 if a.dtype == jnp.uint8 else 0
+        a8 = (a.astype(jnp.int32) - shift).astype(jnp.int8) if shift else a
+        acc = jnp.matmul(a8, b, preferred_element_type=jnp.int32)
+        delta = shift - jnp.asarray(a_zp, jnp.int32).reshape(())
+        skip_corr = (isinstance(a_zp, (np.ndarray, np.generic, int))
+                     and int(np.asarray(a_zp).reshape(())) == shift)
+        if not skip_corr:
+            colsum = b.astype(jnp.int32).sum(axis=-2, keepdims=True)
+            acc = acc + delta * colsum
+    else:
+        ai = a.astype(jnp.int32) - jnp.asarray(a_zp, jnp.int32)
+        bi = b.astype(jnp.int32) - jnp.asarray(b_zp, jnp.int32)
+        acc = jnp.matmul(ai, bi, preferred_element_type=jnp.int32)
     scale = (jnp.asarray(a_scale, jnp.float32) * jnp.asarray(b_scale, jnp.float32)
              / jnp.asarray(y_scale, jnp.float32))
     zp_dtype = np.asarray(y_zp).dtype

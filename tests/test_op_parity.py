@@ -151,3 +151,77 @@ def test_grouped_conv_parity(rng):
     for k in want:
         np.testing.assert_allclose(np.asarray(got[k]), want[k],
                                    rtol=1e-4, atol=1e-5)
+
+
+def _qlconv_case(rng, x_dtype, cin, cout, hw, group=1, pads=(1, 1, 1, 1),
+                 strides=(1, 1), x_zp=57, big_w=False):
+    """QLinearConv graph hitting the importer's int8 MXU fast path
+    (s8 symmetric weights, u8/s8 activation): must be bit-exact vs the
+    oracle's int32 reference."""
+    g = GraphBuilder("qlc")
+    x = g.input("x", x_dtype, (1, cin, hw, hw))
+    kw = (cout, cin // group, 3, 3)
+    w_np = rng.integers(-127, 128, size=kw).astype(np.int8)
+    names = [
+        x,
+        g.init("xs", np.float32(0.02)),
+        g.init("xz", np.asarray(x_zp, x_dtype)),
+        g.init("w", w_np),
+        g.init("ws", rng.uniform(0.001, 0.05, cout).astype(np.float32)),
+        g.init("wz", np.zeros(cout, np.int8)),
+        g.init("ys", np.float32(0.05)),
+        g.init("yz", np.asarray(7, x_dtype)),
+        g.init("b", rng.integers(-1000, 1000, cout).astype(np.int32)),
+    ]
+    y = g.node("QLinearConv", names, group=group, pads=list(pads),
+               strides=list(strides))
+    g.output(y, x_dtype, ())
+    model = g.model()
+    lo, hi = (0, 255) if x_dtype == np.uint8 else (-128, 127)
+    feed = {"x": rng.integers(lo, hi + 1, (1, cin, hw, hw)).astype(x_dtype)}
+    want = run_model(model, feed)
+    got = import_model(model)(feed)
+    for k in want:
+        np.testing.assert_array_equal(np.asarray(got[k]), want[k])
+    if big_w:
+        assert w_np.size > 1024  # weight stayed a runtime param, not folded
+
+
+def test_qlinear_conv_int8_fastpath_u8_act(rng):
+    _qlconv_case(rng, np.uint8, cin=16, cout=8, hw=10, big_w=True)
+
+
+def test_qlinear_conv_int8_fastpath_s8_act(rng):
+    _qlconv_case(rng, np.int8, cin=4, cout=6, hw=8, x_zp=-3)
+
+
+def test_qlinear_conv_int8_fastpath_grouped_strided(rng):
+    _qlconv_case(rng, np.uint8, cin=8, cout=8, hw=12, group=4,
+                 strides=(2, 2), x_zp=200)
+
+
+def test_qlinear_conv_int8_fastpath_zp128_no_correction(rng):
+    _qlconv_case(rng, np.uint8, cin=4, cout=4, hw=8, x_zp=128)
+
+
+def test_qlinear_matmul_int8_fastpath(rng):
+    g = GraphBuilder("qlm")
+    a = g.input("a", np.uint8, (3, 5, 7))
+    names = [
+        a,
+        g.init("as_", np.float32(0.03)),
+        g.init("az", np.uint8(91)),
+        g.init("b", rng.integers(-127, 128, (7, 9)).astype(np.int8)),
+        g.init("bs", np.float32(0.01)),
+        g.init("bz", np.int8(0)),
+        g.init("ys", np.float32(0.07)),
+        g.init("yz", np.uint8(5)),
+    ]
+    y = g.node("QLinearMatMul", names)
+    g.output(y, np.uint8, ())
+    model = g.model()
+    feed = {"a": rng.integers(0, 256, (3, 5, 7)).astype(np.uint8)}
+    want = run_model(model, feed)
+    got = import_model(model)(feed)
+    for k in want:
+        np.testing.assert_array_equal(np.asarray(got[k]), want[k])
