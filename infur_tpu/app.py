@@ -79,6 +79,15 @@ class GUIFrame:
 
 
 @dataclass(frozen=True)
+class StageStatus:
+    """Transient per-stage status line for frontends (e.g. "compiling…"
+    while generate() is stalled on a first-shape jit compile).  Empty
+    ``text`` clears the stage's line."""
+    stage: str
+    text: str
+
+
+@dataclass(frozen=True)
 class AppInfo:
     """Debounced state snapshot for frontends (reference AppInfo)."""
     model: ModelInfo | None
@@ -107,6 +116,9 @@ class ProcessingApp(Processor[AppCmd, None, "GUIFrame | None"]):
         self.scaled: Cell[Frame] = Cell()
         self.pred: Cell[Prediction] = Cell()
         self.to_exit = False
+        # set by the scheduler loop: receives StageStatus for transient
+        # states (jit warmup) that frontends show while generate() blocks
+        self.status_cb = None
         from infur_tpu.runtime.trace import StageTimers
         self.timers = StageTimers()
 
@@ -156,8 +168,16 @@ class ProcessingApp(Processor[AppCmd, None, "GUIFrame | None"]):
                                and self.pred.value is not None
                                and self.pred.value.frame_id != scaled.id))
         if self.model.loaded and recompute_model:
-            with self.timers.stage("model"):
-                self.model.advance(scaled, self.pred)
+            notice = (self.model.compile_notice(scaled)
+                      if self.status_cb else None)
+            if notice:
+                self.status_cb(StageStatus("model", notice))
+            try:
+                with self.timers.stage("model"):
+                    self.model.advance(scaled, self.pred)
+            finally:
+                if notice:
+                    self.status_cb(StageStatus("model", ""))
         elif not self.model.loaded:
             self.pred.value = None
 

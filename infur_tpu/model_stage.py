@@ -222,6 +222,7 @@ class ModelStage(Processor[ModelCmd, Frame, Prediction]):
         self.spec = ""
         self.bucket = bucket
         self._backend = None
+        self._compiled: set[tuple] = set()  # (spec, th, tw, fmt) seen shapes
 
     def control(self, cmd: ModelCmd) -> "ModelStage":
         if not isinstance(cmd, Load):
@@ -231,7 +232,27 @@ class ModelStage(Processor[ModelCmd, Frame, Prediction]):
         else:
             self._backend = _open_backend(cmd.spec)  # raises ModelLoadError
             self.spec = cmd.spec
+        self._compiled.clear()
         return self
+
+    def _model_hw(self, h: int, w: int) -> tuple[int, int]:
+        if self.bucket:
+            return (-(-h // self.bucket) * self.bucket,
+                    -(-w // self.bucket) * self.bucket)
+        return h, w
+
+    def compile_notice(self, inp: Frame) -> str | None:
+        """A human-readable warning that advancing on ``inp`` will block on
+        a jit compile (first time this model sees this input shape —
+        ~20-40 s cold on TPU).  Frontends show it as the model stage's
+        status while generate() is stalled; None once the shape is warm."""
+        if self._backend is None:
+            return None
+        h, w = inp.height_width
+        th, tw = self._model_hw(h, w)
+        if (self.spec, th, tw, inp.fmt) in self._compiled:
+            return None
+        return f"compiling {th}x{tw}…"
 
     @property
     def loaded(self) -> bool:
@@ -254,10 +275,8 @@ class ModelStage(Processor[ModelCmd, Frame, Prediction]):
         if b is None:
             return
         h, w = inp.height_width
-        th, tw = h, w  # model-input size; optionally bucketed (see class doc)
-        if self.bucket:
-            th = -(-h // self.bucket) * self.bucket
-            tw = -(-w // self.bucket) * self.bucket
+        # model-input size; optionally bucketed (see class doc)
+        th, tw = self._model_hw(h, w)
         cfg = b.preproc((th, tw))
         if inp.fmt == "i420":
             from infur_tpu.ops import on_tpu
@@ -289,3 +308,4 @@ class ModelStage(Processor[ModelCmd, Frame, Prediction]):
         pred.frame_id = inp.id
         pred.outputs = {k: v[0] for k, v in outputs.items()}  # strip batch
         out.value = pred
+        self._compiled.add((self.spec, th, tw, inp.fmt))

@@ -41,6 +41,9 @@ def proc_loop(ctrl_rx: "queue.Queue[AppCmd | None]",
     """Run until Exit/hangup.  Mirrors reference main.rs:42-98."""
     if app is None:
         app = ProcessingApp()  # constructed on this thread (main.rs:38-40)
+    # transient stage statuses (jit-warmup notices) go out on the control
+    # channel so frontends can show "compiling…" while generate() blocks
+    app.status_cb = app_tx.put
     state_change = True  # announce initial state
     last_playing: bool | None = None
     try:

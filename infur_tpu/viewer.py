@@ -7,15 +7,20 @@ environment has no display, so the frontend is a tiny stdlib HTTP server +
 single-page UI speaking to the *same* proc-loop channels:
 
     GET  /            the UI (vanilla HTML/JS, no dependencies)
-    GET  /frame.png   latest composited frame (or raw frame w/o model)
+    GET  /stream      MJPEG live stream (multipart/x-mixed-replace): one
+                      JPEG part per processed frame, pushed as frames
+                      arrive — the egui texture upload's web analog
+    GET  /frame.png   latest composited frame (PNG, encoded on demand)
     GET  /state       JSON: fps stats, per-stage status, app info, errors
     POST /cmd         {"scale": f} | {"paused": b} | {"video": [..]} |
                       {"model": s} | {"exit": true}
 
 Commands map 1:1 to AppCmds (widget change -> command, gui.rs:258-294);
-frame polling replaces the 30 ms recv_timeout texture upload
+the MJPEG push stream replaces the 30 ms recv_timeout texture upload
 (gui.rs:169-192); the error history keeps the last 8 fatal errors
-(gui.rs:308-313).
+(gui.rs:308-313).  Transient StageStatus messages (jit-warmup
+"compiling…" notices from the scheduler) show on the stage status line
+while generate() is blocked.
 """
 
 from __future__ import annotations
@@ -30,7 +35,9 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
-from infur_tpu.app import AppInfo, Exit, GUIFrame, ModelCmd, ScaleCmd
+from infur_tpu.app import (
+    AppInfo, Exit, GUIFrame, ModelCmd, ScaleCmd, StageStatus,
+)
 from infur_tpu.errors import InfurError
 from infur_tpu.processing import Pause, Play, Stop
 from infur_tpu.runtime.loop import ProcHandle, start_proc
@@ -43,7 +50,7 @@ img{max-width:100%;border:1px solid #333}
 input[type=text]{width:24rem;background:#222;color:#dde;border:1px solid #444}
 </style></head><body>
 <h3>infur-tpu</h3>
-<img id=frame src=/frame.png>
+<img id=frame src=/stream>
 <div class=row><label><input type=checkbox id=paused> pause</label>
  <label>scale <input type=range id=scale min=0.1 max=1.0 step=0.01>
  <span id=scaleval></span></label></div>
@@ -59,7 +66,6 @@ document.getElementById('paused').onchange=e=>cmd({paused:e.target.checked});
 document.getElementById('scale').oninput=e=>{
   document.getElementById('scaleval').textContent=e.target.value};
 document.getElementById('scale').onchange=e=>cmd({scale:+e.target.value});
-setInterval(()=>{document.getElementById('frame').src='/frame.png?'+Date.now()},100);
 setInterval(async()=>{const s=await(await fetch('/state')).json();
   document.getElementById('stats').textContent=
     `shown ${s.shown_fps.toFixed(1)} fps · recv ${s.received_fps.toFixed(1)} · drops ${s.drops.toFixed(1)}`;
@@ -80,7 +86,10 @@ class ViewerState:
     def __init__(self, handle: ProcHandle):
         self.handle = handle
         self.lock = threading.Lock()
-        self.png: bytes = b""
+        self.new_frame = threading.Condition(self.lock)  # wakes /stream
+        self.seq = 0                       # bumps once per displayed frame
+        self.jpeg: bytes = b""             # latest frame, stream encoding
+        self.frame_arr = None              # latest frame, RGBA numpy
         self.counter = FrameCounter()
         self.stages: dict[str, str] = {}
         self.errors: deque[str] = deque(maxlen=8)  # fading history (gui.rs:308)
@@ -110,22 +119,49 @@ class ViewerState:
             frame: GUIFrame = r
             try:
                 # frames arrive host-materialized (runtime/loop.py): no
-                # device access happens on this thread
+                # device access happens on this thread.  Only the JPEG
+                # (stream encoding) is paid per frame; /frame.png encodes
+                # on demand from the retained array.
                 img = frame.composited if frame.composited is not None \
                     else frame.buffer
+                arr = np.asarray(img)
                 buf = io.BytesIO()
-                Image.fromarray(np.asarray(img), "RGBA").save(buf, "PNG")
+                Image.fromarray(arr, "RGBA").convert("RGB").save(
+                    buf, "JPEG", quality=85)
             except Exception as e:  # encode failure must not kill the pump
                 with self.lock:
                     self.stages["display"] = f"{type(e).__name__}: {e}"
                     self.errors.appendleft(
                         f"{time.strftime('%H:%M:%S')} display: {e}")
                 continue
-            with self.lock:
-                self.png = buf.getvalue()
+            with self.new_frame:
+                self.jpeg = buf.getvalue()
+                self.frame_arr = arr
+                self.seq += 1
                 self.counter.count(frame.id)
                 self.stages.pop("video", None)
+                self.new_frame.notify_all()
             self._drain_ctrl()
+
+    def encode_png(self) -> bytes:
+        """Latest frame as PNG (on-demand; /frame.png compatibility)."""
+        from PIL import Image
+        with self.lock:
+            arr = self.frame_arr
+        if arr is None:
+            return b""
+        buf = io.BytesIO()
+        Image.fromarray(arr, "RGBA").save(buf, "PNG")
+        return buf.getvalue()
+
+    def wait_frame(self, last_seq: int, timeout: float = 1.0):
+        """Block until a frame newer than ``last_seq`` exists (or timeout);
+        returns (seq, jpeg) — the /stream producer side."""
+        with self.new_frame:
+            self.new_frame.wait_for(
+                lambda: self.seq != last_seq or not self.running,
+                timeout=timeout)
+            return self.seq, self.jpeg
 
     def _drain_ctrl(self) -> None:
         while True:
@@ -139,6 +175,11 @@ class ViewerState:
                     self.errors.appendleft(f"{time.strftime('%H:%M:%S')} {r}")
                 elif isinstance(r, AppInfo):
                     self.info = r
+                elif isinstance(r, StageStatus):  # e.g. "compiling WxH…"
+                    if r.text:
+                        self.stages[r.stage] = r.text
+                    else:
+                        self.stages.pop(r.stage, None)
 
     def state_json(self) -> bytes:
         with self.lock:
@@ -191,16 +232,41 @@ def make_handler(state: ViewerState):
             if path == "/":
                 self._send(200, _PAGE.encode(), "text/html")
             elif path == "/frame.png":
-                with state.lock:
-                    png = state.png
+                png = state.encode_png()
                 if png:
                     self._send(200, png, "image/png")
                 else:
                     self._send(404, b"no frame yet", "text/plain")
+            elif path == "/stream":
+                self._stream()
             elif path == "/state":
                 self._send(200, state.state_json(), "application/json")
             else:
                 self._send(404, b"not found", "text/plain")
+
+        def _stream(self):
+            """MJPEG push: one part per processed frame, no client polling.
+            Runs on this request's thread until the client disconnects or
+            the viewer exits."""
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             "multipart/x-mixed-replace; boundary=infurframe")
+            self.send_header("Cache-Control", "no-store")
+            self.end_headers()
+            last = 0  # pre-frame seq: waits if no frame ever arrived,
+            #           sends the current frame immediately otherwise
+            try:
+                while state.running:
+                    seq, jpeg = state.wait_frame(last)
+                    if seq == last or not jpeg:
+                        continue  # timeout tick: re-check running
+                    last = seq
+                    self.wfile.write(
+                        b"--infurframe\r\nContent-Type: image/jpeg\r\n"
+                        + f"Content-Length: {len(jpeg)}\r\n\r\n".encode()
+                        + jpeg + b"\r\n")
+            except (BrokenPipeError, ConnectionResetError, TimeoutError):
+                pass  # client went away — normal stream teardown
 
         def do_POST(self):
             if self.path != "/cmd":
@@ -251,5 +317,7 @@ def serve(host: str = "127.0.0.1", port: int = 8793,
     finally:
         server.server_close()
         state.running = False
+        with state.new_frame:
+            state.new_frame.notify_all()  # release blocked /stream threads
         handle.stop()
         pump.join(timeout=2)

@@ -108,3 +108,48 @@ def test_cross_origin_post_rejected(viewer_url):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(req, timeout=5)
     assert ei.value.code == 403
+
+
+def test_mjpeg_stream_pushes_frames(viewer_url):
+    """/stream is multipart/x-mixed-replace and pushes JPEG parts as
+    frames are processed (no client polling)."""
+    req = urllib.request.Request(viewer_url + "/stream")
+    with urllib.request.urlopen(req, timeout=10) as r:
+        assert "multipart/x-mixed-replace" in r.headers.get("Content-Type", "")
+        data = b""
+        deadline = time.time() + 10
+        while time.time() < deadline and data.count(b"--infurframe") < 3:
+            data += r.read1(65536)
+    parts = data.split(b"--infurframe")
+    jpegs = [p for p in parts if b"image/jpeg" in p]
+    assert len(jpegs) >= 2
+    body = jpegs[0].split(b"\r\n\r\n", 1)[1]
+    assert body[:3] == b"\xff\xd8\xff"  # JPEG SOI marker
+
+
+def test_stage_status_compiling_notice():
+    """The scheduler announces jit warmup: loading a model then playing
+    emits StageStatus("model", "compiling …") before the blocking advance
+    and clears it after (shown by the viewer's stage line)."""
+    import queue
+
+    from infur_tpu.app import ProcessingApp, StageStatus
+
+    app = ProcessingApp()
+    seen: "queue.Queue" = queue.Queue()
+    app.status_cb = seen.put
+    app.control(__import__("infur_tpu.app", fromlist=["ModelCmd"])
+                .ModelCmd("fcn_resnet50"))
+    from infur_tpu.processing import Play
+    app.control(Play(["synth:64x48@30:2"]))
+    from infur_tpu.processing import Cell
+    out = Cell()
+    app.advance(None, out)
+    first = seen.get_nowait()
+    assert isinstance(first, StageStatus) and first.stage == "model"
+    assert "compiling" in first.text and "64" in first.text
+    assert seen.get_nowait().text == ""  # cleared after the advance
+    # warm shape: advancing again emits no further notices
+    app.advance(None, out)
+    assert seen.empty()
+    app.close()
