@@ -4,7 +4,7 @@ The reference is a single-process app whose only "parallelism" is a
 3-thread pipeline with channel backpressure (SURVEY §2.8, §5.8).  The
 TPU-native equivalents live here:
 
-* :func:`make_mesh` — device mesh construction (data x model axes);
+* :func:`make_mesh` — device mesh construction (data x model x spatial);
 * :func:`shard_fcn_params` / :func:`shard_batch` — NamedShardings for the
   flagship model: batch over ``data`` (the multi-stream config), output
   channels of the widest convs over ``model`` (tensor parallelism), with

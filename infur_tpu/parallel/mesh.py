@@ -12,6 +12,11 @@ Axes:
   (HWIO weights on their last axis); activations stay channel-sharded
   through elementwise chains, XLA all-gathers at channel-mixing boundaries.
   Residual-stage widths (256..2048) divide cleanly by typical axis sizes.
+* ``spatial`` — spatial partitioning, the CNN analog of sequence
+  parallelism: activations shard along image H (NHWC dim 1) while params
+  replicate over the axis; GSPMD inserts the conv halo exchanges
+  (ppermute of kernel-overlap rows between H-neighbors) automatically.
+  This is how single very-large frames scale past one chip's HBM.
 
 BatchNorm statistics are per-channel, so they shard with the channels and
 need no cross-device reduction at inference.
@@ -29,16 +34,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: int | None = None, model_axis: int = 1,
-              devices: Any = None) -> Mesh:
-    """A (data, model) mesh over the first ``n_devices`` devices."""
+              spatial_axis: int = 1, devices: Any = None) -> Mesh:
+    """A (data, model, spatial) mesh over the first ``n_devices`` devices.
+    Size-1 axes are free; the default is pure data parallelism."""
     devs = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
         devs = devs[:n_devices]
     n = len(devs)
-    if n % model_axis:
-        raise ValueError(f"{n} devices not divisible by model_axis={model_axis}")
-    arr = np.asarray(devs).reshape(n // model_axis, model_axis)
-    return Mesh(arr, ("data", "model"))
+    if n % (model_axis * spatial_axis):
+        raise ValueError(f"{n} devices not divisible by "
+                         f"model_axis*spatial_axis={model_axis * spatial_axis}")
+    arr = np.asarray(devs).reshape(
+        n // (model_axis * spatial_axis), model_axis, spatial_axis)
+    return Mesh(arr, ("data", "model", "spatial"))
 
 
 def _leaf_spec(path: str, leaf: jnp.ndarray, model_size: int) -> P:
@@ -72,8 +80,9 @@ def shard_fcn_params(params: Any, mesh: Mesh) -> Any:
 
 
 def shard_batch(mesh: Mesh) -> NamedSharding:
-    """Batch tensors shard over ``data`` only (NHWC)."""
-    return NamedSharding(mesh, P("data"))
+    """Batch tensors shard over ``data`` (dim 0) and image rows over
+    ``spatial`` (dim 1) — works for NHWC inputs and NHW label maps."""
+    return NamedSharding(mesh, P("data", "spatial"))
 
 
 def segmentation_loss(params: Any, x_nhwc: jax.Array, labels_nhw: jax.Array,
