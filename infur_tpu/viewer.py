@@ -62,6 +62,9 @@ input[type=text]{width:24rem;background:#222;color:#dde;border:1px solid #444}
 <div class=row id=errors></div>
 <script>
 async function cmd(c){await fetch('/cmd',{method:'POST',body:JSON.stringify(c)})}
+// a dropped MJPEG connection freezes the <img>; reconnect with backoff
+document.getElementById('frame').onerror=()=>setTimeout(()=>{
+  document.getElementById('frame').src='/stream?'+Date.now()},1000);
 document.getElementById('paused').onchange=e=>cmd({paused:e.target.checked});
 document.getElementById('scale').oninput=e=>{
   document.getElementById('scaleval').textContent=e.target.value};
@@ -89,7 +92,10 @@ class ViewerState:
         self.new_frame = threading.Condition(self.lock)  # wakes /stream
         self.seq = 0                       # bumps once per displayed frame
         self.jpeg: bytes = b""             # latest frame, stream encoding
+        self.jpeg_seq = 0                  # seq the jpeg was encoded at
         self.frame_arr = None              # latest frame, RGBA numpy
+        self.stream_clients = 0            # open /stream connections
+        self._notices: dict[str, str] = {}  # StageStatus text we set
         self.counter = FrameCounter()
         self.stages: dict[str, str] = {}
         self.errors: deque[str] = deque(maxlen=8)  # fading history (gui.rs:308)
@@ -119,15 +125,15 @@ class ViewerState:
             frame: GUIFrame = r
             try:
                 # frames arrive host-materialized (runtime/loop.py): no
-                # device access happens on this thread.  Only the JPEG
-                # (stream encoding) is paid per frame; /frame.png encodes
-                # on demand from the retained array.
+                # device access happens on this thread.  The JPEG (stream
+                # encoding) is paid only while someone is watching;
+                # /frame.png and late-joining streams encode on demand
+                # from the retained array.
                 img = frame.composited if frame.composited is not None \
                     else frame.buffer
                 arr = np.asarray(img)
-                buf = io.BytesIO()
-                Image.fromarray(arr, "RGBA").convert("RGB").save(
-                    buf, "JPEG", quality=85)
+                jpeg = (self._encode_jpeg(arr)
+                        if self.stream_clients else None)
             except Exception as e:  # encode failure must not kill the pump
                 with self.lock:
                     self.stages["display"] = f"{type(e).__name__}: {e}"
@@ -135,32 +141,50 @@ class ViewerState:
                         f"{time.strftime('%H:%M:%S')} display: {e}")
                 continue
             with self.new_frame:
-                self.jpeg = buf.getvalue()
                 self.frame_arr = arr
                 self.seq += 1
+                if jpeg is not None:
+                    self.jpeg, self.jpeg_seq = jpeg, self.seq
                 self.counter.count(frame.id)
                 self.stages.pop("video", None)
                 self.new_frame.notify_all()
             self._drain_ctrl()
 
+    @staticmethod
+    def _encode_jpeg(arr) -> bytes:
+        from PIL import Image
+        buf = io.BytesIO()
+        Image.fromarray(arr, "RGBA").convert("RGB").save(
+            buf, "JPEG", quality=85)
+        return buf.getvalue()
+
     def encode_png(self) -> bytes:
         """Latest frame as PNG (on-demand; /frame.png compatibility)."""
-        from PIL import Image
         with self.lock:
             arr = self.frame_arr
         if arr is None:
             return b""
+        from PIL import Image
         buf = io.BytesIO()
         Image.fromarray(arr, "RGBA").save(buf, "PNG")
         return buf.getvalue()
 
     def wait_frame(self, last_seq: int, timeout: float = 1.0):
         """Block until a frame newer than ``last_seq`` exists (or timeout);
-        returns (seq, jpeg) — the /stream producer side."""
+        returns (seq, jpeg) — the /stream producer side.  Re-encodes from
+        the retained array when the cached JPEG is stale (the pump skips
+        encoding while no stream is connected)."""
         with self.new_frame:
             self.new_frame.wait_for(
                 lambda: self.seq != last_seq or not self.running,
                 timeout=timeout)
+            seq, arr = self.seq, self.frame_arr
+            if self.jpeg_seq == seq or arr is None:
+                return seq, self.jpeg
+        jpeg = self._encode_jpeg(arr)  # encode outside the lock
+        with self.lock:
+            if self.jpeg_seq < seq:  # don't clobber a newer pump encode
+                self.jpeg, self.jpeg_seq = jpeg, seq
             return self.seq, self.jpeg
 
     def _drain_ctrl(self) -> None:
@@ -178,8 +202,13 @@ class ViewerState:
                 elif isinstance(r, StageStatus):  # e.g. "compiling WxH…"
                     if r.text:
                         self.stages[r.stage] = r.text
+                        self._notices[r.stage] = r.text
                     else:
-                        self.stages.pop(r.stage, None)
+                        # clear ONLY the notice we set: an error that
+                        # landed on this stage meanwhile must survive
+                        if self.stages.get(r.stage) == self._notices.pop(
+                                r.stage, None):
+                            self.stages.pop(r.stage, None)
 
     def state_json(self) -> bytes:
         with self.lock:
@@ -255,18 +284,31 @@ def make_handler(state: ViewerState):
             self.end_headers()
             last = 0  # pre-frame seq: waits if no frame ever arrived,
             #           sends the current frame immediately otherwise
+            with state.lock:
+                state.stream_clients += 1
             try:
                 while state.running:
                     seq, jpeg = state.wait_frame(last)
                     if seq == last or not jpeg:
-                        continue  # timeout tick: re-check running
+                        # timeout tick (paused/idle): probe the socket so
+                        # abandoned connections don't leak threads — a
+                        # stream client never sends after the request, so
+                        # readable means FIN (or junk we also hang up on)
+                        import select
+                        r, _, _ = select.select([self.connection], [], [], 0)
+                        if r:
+                            break
+                        continue
                     last = seq
                     self.wfile.write(
                         b"--infurframe\r\nContent-Type: image/jpeg\r\n"
                         + f"Content-Length: {len(jpeg)}\r\n\r\n".encode()
                         + jpeg + b"\r\n")
-            except (BrokenPipeError, ConnectionResetError, TimeoutError):
+            except OSError:
                 pass  # client went away — normal stream teardown
+            finally:
+                with state.lock:
+                    state.stream_clients -= 1
 
         def do_POST(self):
             if self.path != "/cmd":

@@ -225,3 +225,40 @@ def test_qlinear_matmul_int8_fastpath(rng):
     got = import_model(model)(feed)
     for k in want:
         np.testing.assert_array_equal(np.asarray(got[k]), want[k])
+
+
+def test_qlinear_conv_lowering_keeps_int8_operands(rng, monkeypatch):
+    """Pin the MXU path itself, not just its numerics: the lowered module
+    must contain a convolution with i8 operands (plus the small i32
+    correction conv); with INFUR_INT8_MXU=0 the conv widens to i32."""
+    import jax
+
+    from infur_tpu.onnx import GraphBuilder, import_model
+
+    def build():
+        g = GraphBuilder("qlc")
+        x = g.input("x", np.uint8, (1, 16, 8, 8))
+        names = [x, g.init("xs", np.float32(0.02)),
+                 g.init("xz", np.uint8(57)),
+                 g.init("w", rng.integers(-127, 128, (8, 16, 3, 3))
+                        .astype(np.int8)),
+                 g.init("ws", rng.uniform(0.001, 0.05, 8).astype(np.float32)),
+                 g.init("wz", np.zeros(8, np.int8)),
+                 g.init("ys", np.float32(0.05)), g.init("yz", np.uint8(7))]
+        y = g.node("QLinearConv", names, pads=[1, 1, 1, 1])
+        g.output(y, np.uint8, ())
+        return g.model()
+
+    feed = {"x": rng.integers(0, 256, (1, 16, 8, 8)).astype(np.uint8)}
+
+    def conv_operand_dtypes(model):
+        m = import_model(model)
+        txt = m.jitted.lower(m.params, feed).as_text()
+        return [line for line in txt.splitlines() if "convolution" in line]
+
+    fast = conv_operand_dtypes(build())
+    assert any("xi8>, tensor<8x16x3x3xi8>" in line for line in fast), fast
+
+    monkeypatch.setenv("INFUR_INT8_MXU", "0")
+    slow = conv_operand_dtypes(build())
+    assert not any("xi8>" in line for line in slow), slow

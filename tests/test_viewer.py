@@ -153,3 +153,34 @@ def test_stage_status_compiling_notice():
     app.advance(None, out)
     assert seen.empty()
     app.close()
+
+
+def test_abandoned_stream_on_idle_viewer_exits_cleanly():
+    """A /stream client that disconnects while no frames flow (idle/paused
+    session) must not leak its handler thread or block shutdown — the
+    timeout tick probes the socket for FIN."""
+    import socket
+
+    from infur_tpu.runtime.config import ProcConfig
+    from infur_tpu.viewer import serve
+
+    ready = threading.Event()
+    port = 18794
+    t = threading.Thread(  # no video: the pump never produces a frame
+        target=serve, args=("127.0.0.1", port),
+        kwargs={"config": ProcConfig(video_input=[]), "ready_event": ready},
+        daemon=True)
+    t.start()
+    assert ready.wait(10)
+    before = threading.active_count()
+    s = socket.create_connection(("127.0.0.1", port), timeout=5)
+    s.sendall(b"GET /stream HTTP/1.1\r\nHost: x\r\n\r\n")
+    assert b"multipart/x-mixed-replace" in s.recv(4096)
+    s.close()  # abandon while idle
+    deadline = time.time() + 5
+    while time.time() < deadline and threading.active_count() > before:
+        time.sleep(0.2)
+    assert threading.active_count() <= before  # handler thread reaped
+    _post(f"http://127.0.0.1:{port}", {"exit": True})
+    t.join(timeout=10)
+    assert not t.is_alive()
