@@ -144,7 +144,7 @@ def main() -> int:
     from concurrent.futures import ThreadPoolExecutor
     pool = ThreadPoolExecutor(4)
     DEPTH = 1  # batches in flight (the relay degrades beyond 1)
-    ROUNDS = 3
+    ROUNDS = 5  # best-of: relay throughput drifts hugely between rounds
 
     def run_round() -> float:
         t0 = time.perf_counter()
