@@ -562,12 +562,40 @@ def _jupsample(attrs, x, scales=None):
 
 
 # ---------------------------------------------------------------------------
-# Quantized ops — exact integer semantics (int32 accumulation, f32 single-precision requant multiplier like onnxruntime MLAS, rint rounding)
+# Quantized ops — exact integer semantics (int32 accumulation; requant via
+# fixed-point multiplier + rounding shift so TPU == NumPy oracle bit-for-bit,
+# see onnx/requant.py; INFUR_FIXEDPOINT_REQUANT=0 restores the f32 multiplier)
 # ---------------------------------------------------------------------------
 
 def _jqminmax(dtype) -> tuple[int, int]:
     info = jnp.iinfo(dtype)
     return info.min, info.max
+
+
+def _host_const(*vs) -> bool:
+    """True iff every value is a trace-time host constant."""
+    return all(v is None or isinstance(v, (np.ndarray, np.generic, int, float))
+               for v in vs)
+
+
+def _jrequant_int(acc, multiplier, y_zp, channel_shape=None):
+    """Fixed-point requant of an int32 accumulator on the JAX side; None →
+    caller falls back to the f32 multiplier path.  multiplier/y_zp must be
+    host constants (they are graph initializers in every real model)."""
+    from .oracle import _fixedpoint_requant_enabled
+    from .requant import decompose_multiplier, requant_jnp
+    if not (_fixedpoint_requant_enabled() and _host_const(multiplier, y_zp)):
+        return None
+    try:
+        q, shift = decompose_multiplier(multiplier)
+    except ValueError:
+        return None
+    if channel_shape is not None and q.size > 1:
+        q = q.reshape(channel_shape)
+        shift = shift.reshape(channel_shape)
+    return requant_jnp(acc, q, shift, np.asarray(y_zp, np.int32),
+                       np.asarray(y_zp).dtype)
+
 
 @jop("QuantizeLinear")
 def _jquantize_linear(attrs, x, scale, zp=None):
@@ -575,14 +603,23 @@ def _jquantize_linear(attrs, x, scale, zp=None):
     if zp is None:
         zp = np.zeros((), np.uint8)
     zp_dtype = np.asarray(zp).dtype
-    s = jnp.asarray(scale, jnp.float32)
+    if _host_const(scale):
+        # one IEEE multiply by the host-precomputed reciprocal — f32
+        # division is not correctly rounded on TPU (reciprocal+refinement
+        # lowering) and diverges from the NumPy oracle at ties
+        s = jnp.asarray(np.float32(1.0) / np.asarray(scale, np.float32))
+        div = False
+    else:
+        s = jnp.asarray(scale, jnp.float32)
+        div = True
     z = jnp.asarray(zp, jnp.int32)
     if s.ndim == 1 and s.size > 1:
         shape = [1] * x.ndim
         shape[axis] = -1
         s = s.reshape(shape)
         z = z.reshape(shape)
-    q = jnp.round(x / s) + z  # jnp.round = half-to-even, matches np.rint
+    # jnp.round = half-to-even, matches np.rint
+    q = jnp.round(x / s if div else x * s) + z
     lo, hi = _jqminmax(zp_dtype)
     return jnp.clip(q, lo, hi).astype(zp_dtype)
 
@@ -659,6 +696,12 @@ def _jqlinear_conv(attrs, x, x_scale, x_zp, w, w_scale, w_zp, y_scale, y_zp, b=N
             feature_group_count=groups, preferred_element_type=jnp.int32)
     if b is not None:
         acc = acc + jnp.asarray(b, jnp.int32).reshape(1, -1, 1, 1)
+    if _host_const(x_scale, w_scale, y_scale):
+        m = (np.asarray(x_scale, np.float32) * np.asarray(w_scale, np.float32)
+             / np.asarray(y_scale, np.float32))
+        out = _jrequant_int(acc, m, y_zp, channel_shape=(1, -1, 1, 1))
+        if out is not None:
+            return out
     sx = jnp.asarray(x_scale, jnp.float32)
     sw = jnp.asarray(w_scale, jnp.float32)
     sy = jnp.asarray(y_scale, jnp.float32)
@@ -692,6 +735,12 @@ def _jqlinear_matmul(attrs, a, a_scale, a_zp, b, b_scale, b_zp, y_scale, y_zp):
         ai = a.astype(jnp.int32) - jnp.asarray(a_zp, jnp.int32)
         bi = b.astype(jnp.int32) - jnp.asarray(b_zp, jnp.int32)
         acc = jnp.matmul(ai, bi, preferred_element_type=jnp.int32)
+    if _host_const(a_scale, b_scale, y_scale):
+        m = (np.asarray(a_scale, np.float32) * np.asarray(b_scale, np.float32)
+             / np.asarray(y_scale, np.float32))
+        out = _jrequant_int(acc, m, y_zp)
+        if out is not None:
+            return out
     scale = (jnp.asarray(a_scale, jnp.float32) * jnp.asarray(b_scale, jnp.float32)
              / jnp.asarray(y_scale, jnp.float32))
     zp_dtype = np.asarray(y_zp).dtype
@@ -701,18 +750,62 @@ def _jqlinear_matmul(attrs, a, a_scale, a_zp, b, b_scale, b_zp, y_scale, y_zp):
 
 @jop("QLinearAdd")
 def _jqlinear_add(attrs, a, a_scale, a_zp, b, b_scale, b_zp, y_scale, y_zp):
+    from .oracle import _QADD_SHIFT, _fixedpoint_requant_enabled
+    if (_fixedpoint_requant_enabled()
+            and _host_const(a_scale, a_zp, b_scale, b_zp, y_scale, y_zp)
+            and all(np.size(v) <= 1 for v in
+                    (a_scale, a_zp, b_scale, b_zp, y_scale, y_zp))):
+        # integer-only twin of oracle._qlinear_add_int — float QLinearAdd
+        # is not platform-exact (XLA recomputes fused f32 subgraphs per
+        # consumer with FMA/reassociation)
+        from .requant import decompose_multiplier, fixed_round_jnp
+        try:
+            qa, sha = decompose_multiplier(
+                np.float32(a_scale) / np.float32(y_scale))
+            qb, shb = decompose_multiplier(
+                np.float32(b_scale) / np.float32(y_scale))
+        except ValueError:
+            qa = None
+        if qa is not None:
+            L = _QADD_SHIFT
+            ai = (a.astype(jnp.int32) - jnp.asarray(a_zp, jnp.int32)) << L
+            bi = (b.astype(jnp.int32) - jnp.asarray(b_zp, jnp.int32)) << L
+            ta = jnp.clip(fixed_round_jnp(ai, qa, sha), -(1 << 29), 1 << 29)
+            tb = jnp.clip(fixed_round_jnp(bi, qb, shb), -(1 << 29), 1 << 29)
+            y = (fixed_round_jnp(ta + tb, np.int64(1 << 30), np.int64(30 + L))
+                 + jnp.asarray(y_zp, jnp.int32))
+            zp_dtype = np.asarray(y_zp).dtype
+            lo, hi = _jqminmax(zp_dtype)
+            return jnp.clip(y, lo, hi).astype(zp_dtype)
     af = (a.astype(jnp.float32) - jnp.asarray(a_zp, jnp.float32)) * jnp.asarray(a_scale, jnp.float32)
     bf = (b.astype(jnp.float32) - jnp.asarray(b_zp, jnp.float32)) * jnp.asarray(b_scale, jnp.float32)
     zp_dtype = np.asarray(y_zp).dtype
-    q = jnp.round((af + bf) / jnp.asarray(y_scale, jnp.float32)) + jnp.asarray(y_zp, jnp.int32)
+    if _host_const(y_scale):
+        # reciprocal multiply, not division — see _jquantize_linear
+        s = jnp.asarray(np.float32(1.0) / np.asarray(y_scale, np.float32))
+        q = jnp.round((af + bf) * s) + jnp.asarray(y_zp, jnp.int32)
+    else:
+        q = jnp.round((af + bf) / jnp.asarray(y_scale, jnp.float32)) + jnp.asarray(y_zp, jnp.int32)
     lo, hi = _jqminmax(zp_dtype)
     return jnp.clip(q, lo, hi).astype(zp_dtype)
 
 @jop("QLinearGlobalAveragePool")
 def _jqlinear_gap(attrs, x, x_scale, x_zp, y_scale, y_zp):
+    zp_dtype = np.asarray(y_zp).dtype
+    if _host_const(x_scale, y_scale):
+        # integer spatial sum (order-independent, platform-exact) + one
+        # fixed-point requant with multiplier x_scale / (y_scale * N) —
+        # mirrors oracle._qlinear_gap
+        axes = tuple(range(2, x.ndim))
+        n = int(np.prod([x.shape[i] for i in axes]))
+        acc = (x.astype(jnp.int32) - jnp.asarray(x_zp, jnp.int32)).sum(
+            axis=axes, keepdims=True)
+        m = np.float32(x_scale) / (np.float32(y_scale) * np.float32(n))
+        out = _jrequant_int(acc, m, y_zp)
+        if out is not None:
+            return out
     xf = (x.astype(jnp.float32) - jnp.asarray(x_zp, jnp.float32)) * jnp.asarray(x_scale, jnp.float32)
     m = xf.mean(axis=tuple(range(2, x.ndim)), keepdims=True)
-    zp_dtype = np.asarray(y_zp).dtype
     q = jnp.round(m / jnp.asarray(y_scale, jnp.float32)) + jnp.asarray(y_zp, jnp.int32)
     lo, hi = _jqminmax(zp_dtype)
     return jnp.clip(q, lo, hi).astype(zp_dtype)
@@ -721,6 +814,22 @@ def _jqlinear_gap(attrs, x, x_scale, x_zp, y_scale, y_zp):
 # ---------------------------------------------------------------------------
 # Graph import
 # ---------------------------------------------------------------------------
+
+# Quantization metadata (scales / zero-points / int32 biases) must stay
+# host constants no matter their size: the QLinear lowerings branch on them
+# at trace time (int8-MXU eligibility, fixed-point requant decomposition —
+# onnx/requant.py), and a per-channel w_scale of 2048 floats silently
+# falling into the traced-params bucket would knock the whole graph back to
+# the f32 requant path.  Maps op_type -> input positions that must fold.
+_QCONST_ARGS = {
+    "QuantizeLinear": (1, 2),
+    "DequantizeLinear": (1, 2),
+    "QLinearConv": (1, 2, 4, 5, 6, 7, 8),
+    "QLinearMatMul": (1, 2, 4, 5, 6, 7),
+    "QLinearAdd": (1, 2, 4, 5, 6, 7),
+    "QLinearGlobalAveragePool": (1, 2, 3, 4),
+}
+
 
 # Ops that are pure shape machinery: always fold when inputs are const.
 _SHAPE_FAMILY = {
@@ -781,10 +890,18 @@ def import_graph(graph: GraphProto, *, opset: int = 13,
     input_info = [vi for vi in graph.input if vi.name not in inits]
 
     # Split initializers: small ones fold, large ones are runtime params.
+    # Quantization metadata folds regardless of size (see _QCONST_ARGS).
+    qconst_names: set[str] = set()
+    for node in graph.node:
+        for pos in _QCONST_ARGS.get(node.op_type, ()):
+            if pos < len(node.input) and node.input[pos]:
+                qconst_names.add(node.input[pos])
     const_env: dict[str, np.ndarray] = {}
     params: dict[str, np.ndarray] = {}
     for name, arr in inits.items():
-        (const_env if arr.size <= FOLD_PARAM_MAX_ELEMS else params)[name] = arr
+        dest = const_env if (arr.size <= FOLD_PARAM_MAX_ELEMS
+                             or name in qconst_names) else params
+        dest[name] = arr
 
     # Import-time pass: decide per node folded/traced; fold via the oracle.
     traced_nodes = []

@@ -711,6 +711,32 @@ def _qminmax(dtype: np.dtype) -> tuple[int, int]:
     info = np.iinfo(dtype)
     return info.min, info.max
 
+
+def _fixedpoint_requant_enabled() -> bool:
+    """INFUR_FIXEDPOINT_REQUANT=0 restores the f32 requant multiplier
+    (A/B escape hatch; the integer path is the platform-exact default —
+    see onnx/requant.py)."""
+    import os
+    return os.environ.get("INFUR_FIXEDPOINT_REQUANT", "1") != "0"
+
+
+def _requant_int(acc: np.ndarray, multiplier: np.ndarray, y_zp,
+                 channel_shape=None) -> np.ndarray | None:
+    """Integer-only requant of an int32 accumulator; None → caller falls
+    back to the f32 path (out-of-range multiplier or flag off)."""
+    if not _fixedpoint_requant_enabled():
+        return None
+    from .requant import decompose_multiplier, requant_ref
+    try:
+        q, shift = decompose_multiplier(multiplier)
+    except ValueError:
+        return None
+    if channel_shape is not None and q.size > 1:
+        q = q.reshape(channel_shape)
+        shift = shift.reshape(channel_shape)
+    return requant_ref(acc, q, shift, np.asarray(y_zp, np.int64),
+                       np.asarray(y_zp).dtype)
+
 def quantize(x: np.ndarray, scale: np.ndarray, zero_point: np.ndarray,
              axis: int = 1) -> np.ndarray:
     """y = saturate(round_half_to_even(x/scale) + zp), per ONNX QuantizeLinear."""
@@ -721,7 +747,11 @@ def quantize(x: np.ndarray, scale: np.ndarray, zero_point: np.ndarray,
         shape[axis] = -1
         s = s.reshape(shape)
         zp = zp.reshape(shape)
-    q = np.rint(x / s) + zp.astype(np.int64)  # rint = round-half-to-even
+    # one IEEE multiply by the host-precomputed reciprocal instead of a
+    # division: f32 division is not correctly rounded on every backend
+    # (TPU lowers it to reciprocal+refinement), a multiply is — keeps the
+    # JAX lowering bit-identical to this oracle (onnx/requant.py).
+    q = np.rint(x * (np.float32(1.0) / s)) + zp.astype(np.int64)
     lo, hi = _qminmax(np.asarray(zero_point).dtype)
     return np.clip(q, lo, hi).astype(np.asarray(zero_point).dtype)
 
@@ -765,10 +795,14 @@ def _qlinear_conv(attrs, x, x_scale, x_zp, w, w_scale, w_zp,
     sx = np.asarray(x_scale, np.float32)
     sw = np.asarray(w_scale, np.float32)
     sy = np.asarray(y_scale, np.float32)
+    multiplier = sx * sw / sy
+    out = _requant_int(acc, multiplier, y_zp, channel_shape=(1, -1, 1, 1))
+    if out is not None:
+        return out
     if sw.ndim == 1 and sw.size > 1:
-        scale = (sx * sw / sy).reshape(1, -1, 1, 1)
+        scale = multiplier.reshape(1, -1, 1, 1)
     else:
-        scale = sx * sw / sy
+        scale = multiplier
     q = np.rint(acc.astype(np.float32) * scale) + np.int64(y_zp)
     lo, hi = _qminmax(np.asarray(y_zp).dtype)
     return np.clip(q, lo, hi).astype(np.asarray(y_zp).dtype)
@@ -779,23 +813,72 @@ def _qlinear_matmul(attrs, a, a_scale, a_zp, b, b_scale, b_zp, y_scale, y_zp):
     bi = b.astype(np.int64) - np.int64(b_zp)
     acc = np.matmul(ai, bi)
     scale = (np.float32(a_scale) * np.float32(b_scale)) / np.float32(y_scale)
+    out = _requant_int(acc, scale, y_zp)
+    if out is not None:
+        return out
     q = np.rint(acc.astype(np.float32) * scale) + np.int64(y_zp)
     lo, hi = _qminmax(np.asarray(y_zp).dtype)
     return np.clip(q, lo, hi).astype(np.asarray(y_zp).dtype)
 
 @op("QLinearAdd")  # com.microsoft domain, used by quantized torchvision exports
 def _qlinear_add(attrs, a, a_scale, a_zp, b, b_scale, b_zp, y_scale, y_zp):
+    # Integer-only path (TFLite-style double rescale): inputs are shifted
+    # left by 2**20, rescaled by s_in/s_out with the fixed-point core, and
+    # the sum is shifted back down with rounding.  A float QLinearAdd is
+    # NOT platform-exact even per-op-deterministic math: XLA recomputes
+    # fused f32 subgraphs per consumer (FMA/reassociation), so the same
+    # tensor can take two different values inside one program — observed
+    # as the round-1 int8 mask divergence on TPU.
+    out = _qlinear_add_int(a, a_scale, a_zp, b, b_scale, b_zp, y_scale, y_zp)
+    if out is not None:
+        return out
     af = (a.astype(np.float32) - np.float32(a_zp)) * np.float32(a_scale)
     bf = (b.astype(np.float32) - np.float32(b_zp)) * np.float32(b_scale)
-    q = np.rint((af + bf) / np.float32(y_scale)) + np.int64(y_zp)
+    # reciprocal multiply, not division — see quantize()
+    q = np.rint((af + bf) * (np.float32(1.0) / np.float32(y_scale))) + np.int64(y_zp)
     lo, hi = _qminmax(np.asarray(y_zp).dtype)
     return np.clip(q, lo, hi).astype(np.asarray(y_zp).dtype)
 
+
+_QADD_SHIFT = 20  # left-shift giving the integer Add its sub-step precision
+
+
+def _qlinear_add_int(a, a_scale, a_zp, b, b_scale, b_zp, y_scale, y_zp):
+    """Integer QLinearAdd; None → caller falls back to the f32 path."""
+    if not _fixedpoint_requant_enabled():
+        return None
+    if any(np.size(v) > 1 for v in (a_scale, a_zp, b_scale, b_zp, y_scale, y_zp)):
+        return None
+    from .requant import decompose_multiplier, fixed_round_ref
+    try:
+        qa, sha = decompose_multiplier(np.float32(a_scale) / np.float32(y_scale))
+        qb, shb = decompose_multiplier(np.float32(b_scale) / np.float32(y_scale))
+    except ValueError:
+        return None
+    L = _QADD_SHIFT
+    ai = (np.asarray(a).astype(np.int64) - np.int64(a_zp)) << L
+    bi = (np.asarray(b).astype(np.int64) - np.int64(b_zp)) << L
+    # per-term clamp at 2**29 (= out-magnitude 512, beyond any 8-bit clip)
+    # keeps ta+tb inside int32 on the device twin
+    ta = np.clip(fixed_round_ref(ai, qa, sha), -(1 << 29), 1 << 29)
+    tb = np.clip(fixed_round_ref(bi, qb, shb), -(1 << 29), 1 << 29)
+    y = fixed_round_ref(ta + tb, 1 << 30, 30 + L) + np.int64(y_zp)
+    lo, hi = _qminmax(np.asarray(y_zp).dtype)
+    return np.clip(y, lo, hi).astype(np.asarray(y_zp).dtype)
+
 @op("QLinearGlobalAveragePool")  # com.microsoft domain
 def _qlinear_gap(attrs, x, x_scale, x_zp, y_scale, y_zp):
-    xf = (x.astype(np.float32) - np.float32(x_zp)) * np.float32(x_scale)
-    m = xf.mean(axis=tuple(range(2, x.ndim)), keepdims=True)
-    q = np.rint(m / np.float32(y_scale)) + np.int64(y_zp)
+    # Integer spatial sum (order-independent, so platform-exact — an f32
+    # mean would accumulate in a backend-specific order) then one requant
+    # with multiplier x_scale / (y_scale * N).
+    axes = tuple(range(2, x.ndim))
+    n = int(np.prod([x.shape[i] for i in axes]))
+    acc = (x.astype(np.int64) - np.int64(x_zp)).sum(axis=axes, keepdims=True)
+    multiplier = np.float32(x_scale) / (np.float32(y_scale) * np.float32(n))
+    out = _requant_int(acc, multiplier, y_zp)
+    if out is not None:
+        return out
+    q = np.rint(acc.astype(np.float32) * multiplier) + np.int64(y_zp)
     lo, hi = _qminmax(np.asarray(y_zp).dtype)
     return np.clip(q, lo, hi).astype(np.asarray(y_zp).dtype)
 

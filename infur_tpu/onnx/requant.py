@@ -1,0 +1,168 @@
+"""Integer-only requantization for the QLinear op lowerings.
+
+The int8 inference path quantizes an int32 accumulator back to 8 bits:
+``y = saturate(round(acc * M) + y_zp)`` where ``M = x_scale*w_scale/y_scale``.
+Computing ``acc * M`` in float32 is platform-dependent at ties (the TPU's
+f32 multiply/round can land on the other side of .5 than NumPy's for a
+handful of accumulators, and one flipped quantized int early in a conv
+stack cascades — measured ~0.25 % of mask pixels on the imported int8
+FCN-ResNet50, BENCH_NOTES.md round 1).
+
+This module replaces the f32 multiplier with a **fixed-point multiplier +
+rounding right-shift**, the gemmlowp/TFLite recipe: ``M ≈ q / 2**shift``
+with ``q`` a 31-bit integer significand.  Then
+
+    round(acc * M)  :=  sign(acc) * ((|acc| * q + 2**(shift-1)) >> shift)
+
+(round-half-away-from-zero on the magnitude) — pure integer arithmetic,
+bit-identical on every backend.  The reference's fidelity bar is the
+onnxruntime golden outputs (/root/reference/infur/src/predict_onnx.rs:371-381);
+ours is oracle == TPU **bit-for-bit**, which only integer math delivers.
+
+JAX runs without x64 (and TPUs have no native f64), so the device side
+cannot form the 62-bit product directly: :func:`requant_jnp` emulates the
+64-bit multiply with 16-bit limbs in uint32 — the standard mulhi
+decomposition.  :func:`requant_ref` is the NumPy twin using int64; the two
+are proven equal on randomized + adversarial accumulators in
+tests/test_requant.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "decompose_multiplier",
+    "fixed_round_ref",
+    "fixed_round_jnp",
+    "requant_ref",
+    "requant_jnp",
+]
+
+# Magnitudes are saturated here before the sign is applied: far above any
+# 8-bit output range (callers clip afterwards) yet low enough that the
+# int32 reinterpret and a following +zero_point can never overflow.
+_MAG_SAT = 1 << 30
+
+# Multipliers must satisfy 1 <= shift <= 62 for the integer path; real
+# models sit around shift 33..45.  Out-of-range multipliers (absurd scale
+# ratios) make decompose_multiplier raise, and callers fall back to the
+# f32 path.
+_MAX_SHIFT = 62
+
+
+def decompose_multiplier(m) -> tuple[np.ndarray, np.ndarray]:
+    """Decompose positive multiplier(s) ``m`` into ``(q, shift)`` with
+    ``m ≈ q / 2**shift``, ``q`` in ``[2**30, 2**31)`` (31-bit significand).
+
+    Vectorized over arrays (per-channel requant).  Raises ``ValueError``
+    when any multiplier can't be represented with ``1 <= shift <= 62``.
+    """
+    m64 = np.asarray(m, np.float64)
+    if m64.size == 0 or np.any(~np.isfinite(m64)) or np.any(m64 <= 0.0):
+        raise ValueError("requant multiplier must be finite and > 0")
+    mant, exp = np.frexp(m64)  # m = mant * 2**exp, mant in [0.5, 1)
+    q = np.rint(mant * (1 << 31)).astype(np.int64)
+    # mant ~ 1.0 can round up to 2**31: renormalize to keep q < 2**31.
+    hi = q == (1 << 31)
+    q = np.where(hi, q >> 1, q)
+    exp = np.where(hi, exp + 1, exp)
+    shift = (31 - exp).astype(np.int64)
+    if np.any(shift < 1) or np.any(shift > _MAX_SHIFT):
+        raise ValueError(f"requant shift out of [1, {_MAX_SHIFT}]")
+    return q.astype(np.int64), shift
+
+
+def fixed_round_ref(acc: np.ndarray, q, shift) -> np.ndarray:
+    """NumPy core: ``sign(acc) * min((|acc|*q + 2**(shift-1)) >> shift,
+    2**30)`` with int64 intermediates — round-half-away-from-zero of
+    ``acc * q / 2**shift``.
+
+    ``acc`` is taken mod 2**32 (int32 accumulator semantics, matching the
+    device's ``preferred_element_type=int32`` wraparound).
+    """
+    acc32 = np.asarray(acc).astype(np.int64).astype(np.int32)
+    a = acc32.astype(np.int64)
+    mag = np.abs(a)  # |int32 min| = 2**31 fits int64
+    q = np.asarray(q, np.int64)
+    shift = np.asarray(shift, np.int64)
+    rounded = (mag * q + (np.int64(1) << (shift - 1))) >> shift
+    rounded = np.minimum(rounded, _MAG_SAT)  # match the uint32-limb twin
+    return np.where(a < 0, -rounded, rounded)
+
+
+def requant_ref(acc: np.ndarray, q: np.ndarray, shift: np.ndarray,
+                y_zp, out_dtype) -> np.ndarray:
+    """NumPy reference: ``saturate(fixed_round(acc) + y_zp)``."""
+    y = fixed_round_ref(acc, q, shift) + np.asarray(y_zp, np.int64)
+    info = np.iinfo(out_dtype)
+    return np.clip(y, info.min, info.max).astype(out_dtype)
+
+
+def fixed_round_jnp(acc, q: np.ndarray, shift: np.ndarray):
+    """JAX twin of :func:`fixed_round_ref` without int64: 16-bit-limb mulhi
+    in uint32.  ``q``/``shift`` are host constants from
+    :func:`decompose_multiplier` (broadcastable against ``acc``).
+
+    Works on any backend; on TPU everything stays in 32-bit vector ops.
+    """
+    import jax.numpy as jnp
+
+    acc = jnp.asarray(acc, jnp.int32)
+    a_u = acc.astype(jnp.uint32)
+    neg = acc < 0
+    # magnitude in uint32 two's complement: 0 - 0x80000000 == 0x80000000 == 2**31
+    mag = jnp.where(neg, jnp.uint32(0) - a_u, a_u)
+
+    q_u = jnp.asarray(np.asarray(q, np.uint32))
+    shift = jnp.asarray(np.asarray(shift, np.int32))
+    b0 = q_u & jnp.uint32(0xFFFF)
+    b1 = q_u >> 16                      # < 2**15
+    a0 = mag & jnp.uint32(0xFFFF)
+    a1 = mag >> 16                      # <= 2**15
+
+    lo_lo = a0 * b0                     # < 2**32
+    mid1 = a1 * b0                      # < 2**31
+    mid2 = a0 * b1                      # < 2**31
+    carry = ((lo_lo >> 16) + (mid1 & jnp.uint32(0xFFFF))
+             + (mid2 & jnp.uint32(0xFFFF))) >> 16
+    hi = a1 * b1 + (mid1 >> 16) + (mid2 >> 16) + carry   # < 2**31
+    lo = lo_lo + ((mid1 + mid2) << 16)                   # mod 2**32
+
+    # full = hi * 2**32 + lo  (< 2**62);  result = (full + 2**(shift-1)) >> shift
+    # Split on shift <=/>= 32 (shift is data here — per-channel arrays —
+    # so both branches are computed and selected; they're cheap).
+    sh = shift
+    # --- shift >= 32 branch: add the rounding bit into (hi, lo) then take
+    # hi >> (shift - 32).  R = 2**(shift-1): hi-part 2**(shift-33) for
+    # shift >= 33; for shift == 32, R = 2**31 lives in lo.
+    r_lo32 = jnp.where(sh == 32, jnp.uint32(1) << 31, jnp.uint32(0))
+    r_hi32 = jnp.where(sh >= 33,
+                       jnp.uint32(1) << jnp.clip(sh - 33, 0, 31).astype(jnp.uint32),
+                       jnp.uint32(0))
+    lo32p = lo + r_lo32
+    carry32 = (lo32p < lo).astype(jnp.uint32)
+    hi32p = hi + r_hi32 + carry32
+    res_ge32 = hi32p >> jnp.clip(sh - 32, 0, 31).astype(jnp.uint32)
+    # --- shift < 32 branch: R fits in lo.
+    r_lo = jnp.uint32(1) << jnp.clip(sh - 1, 0, 31).astype(jnp.uint32)
+    lop = lo + r_lo
+    carrylt = (lop < lo).astype(jnp.uint32)
+    hip = hi + carrylt
+    shl = jnp.clip(sh, 1, 31).astype(jnp.uint32)
+    res_lt32 = (lop >> shl) | (hip << (jnp.uint32(32) - shl))
+    # saturate when the true result >= 2**32 (hi' >= 2**shift)
+    res_lt32 = jnp.where(hip >> shl > 0, jnp.uint32(0xFFFFFFFF), res_lt32)
+
+    res = jnp.where(sh >= 32, res_ge32, res_lt32)
+    res = jnp.minimum(res, jnp.uint32(_MAG_SAT)).astype(jnp.int32)
+    return jnp.where(neg, -res, res)
+
+
+def requant_jnp(acc, q: np.ndarray, shift: np.ndarray, y_zp, out_dtype):
+    """JAX twin of :func:`requant_ref`: ``saturate(fixed_round(acc)+y_zp)``."""
+    import jax.numpy as jnp
+
+    y = fixed_round_jnp(acc, q, shift) + jnp.asarray(y_zp, jnp.int32)
+    info = np.iinfo(out_dtype)
+    return jnp.clip(y, info.min, info.max).astype(out_dtype)

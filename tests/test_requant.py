@@ -1,0 +1,95 @@
+"""Fixed-point requant: the uint32-limb JAX path must equal the int64 NumPy
+path bit-for-bit, and both must equal exact rational arithmetic.
+
+This is the lever that closes the round-1 TPU int8 mask divergence (~0.25 %
+of pixels flipped by f32 requant-multiplier ties; fidelity bar set by the
+reference's golden outputs, /root/reference/infur/src/predict_onnx.rs:371-381).
+"""
+
+import numpy as np
+import pytest
+
+from infur_tpu.onnx.requant import (decompose_multiplier, requant_jnp,
+                                    requant_ref)
+
+I32 = np.iinfo(np.int32)
+EDGE_ACCS = np.array([0, 1, -1, 2, -2, I32.max, I32.min, I32.min + 1,
+                      2**30, -(2**30), 12345678, -12345678], np.int64)
+
+
+def exact_requant(acc: int, q: int, shift: int, zp: int, lo: int, hi: int) -> int:
+    """Ground truth via Python bignums: round-half-away-from-zero of
+    acc * q / 2**shift, then +zp and saturate."""
+    mag = abs(acc)
+    r = (mag * q + (1 << (shift - 1))) >> shift
+    y = (-r if acc < 0 else r) + zp
+    return max(lo, min(hi, y))
+
+
+def test_decompose_accuracy():
+    rng = np.random.default_rng(0)
+    m = 10.0 ** rng.uniform(-8, 5, size=256)
+    q, shift = decompose_multiplier(m)
+    approx = q.astype(np.float64) * 2.0 ** (-shift.astype(np.float64))
+    assert np.all(np.abs(approx / m - 1.0) <= 2.0 ** -30)
+    assert np.all((q >= 2**30) & (q < 2**31))
+    assert np.all((shift >= 1) & (shift <= 62))
+
+
+def test_decompose_rejects_bad():
+    for bad in (0.0, -1.0, np.inf, np.nan, 2.0**40, 2.0**-40):
+        with pytest.raises(ValueError):
+            decompose_multiplier(bad)
+
+
+def test_ref_matches_exact_bignum():
+    rng = np.random.default_rng(1)
+    accs = np.concatenate([EDGE_ACCS,
+                           rng.integers(I32.min, I32.max, 500, np.int64)])
+    for m in (1e-6, 3.7e-4, 0.11, 0.999, 1.5, 200.0):
+        q, shift = decompose_multiplier(m)
+        for zp, dt in ((128, np.uint8), (0, np.int8), (-7, np.int8)):
+            got = requant_ref(accs, q, shift, zp, dt)
+            info = np.iinfo(dt)
+            want = [exact_requant(int(a), int(q), int(shift), zp,
+                                  info.min, info.max) for a in accs]
+            np.testing.assert_array_equal(got, np.asarray(want, dt))
+
+
+def test_jnp_matches_ref_randomized():
+    rng = np.random.default_rng(2)
+    accs = np.concatenate([EDGE_ACCS,
+                           rng.integers(I32.min, I32.max, 4000, np.int64)])
+    ms = np.concatenate([10.0 ** rng.uniform(-8, 4, 40),
+                         [2.0**-31, 2.0**-20, 0.5, 1.0 - 2.0**-24, 1.0, 2.0]])
+    for m in ms:
+        q, shift = decompose_multiplier(m)
+        for zp, dt in ((128, np.uint8), (0, np.int8)):
+            ref = requant_ref(accs, q, shift, zp, dt)
+            dev = np.asarray(requant_jnp(accs.astype(np.int32), q, shift,
+                                         zp, dt))
+            np.testing.assert_array_equal(dev, ref, err_msg=f"m={m!r}")
+
+
+def test_jnp_matches_ref_per_channel():
+    """Per-channel multipliers broadcast over an NCHW accumulator — the
+    QLinearConv shape."""
+    rng = np.random.default_rng(3)
+    acc = rng.integers(I32.min, I32.max, (2, 8, 5, 5), np.int64)
+    m = 10.0 ** rng.uniform(-6, 0, 8)
+    q, shift = decompose_multiplier(m)
+    q4, s4 = q.reshape(1, -1, 1, 1), shift.reshape(1, -1, 1, 1)
+    ref = requant_ref(acc, q4, s4, 128, np.uint8)
+    dev = np.asarray(requant_jnp(acc.astype(np.int32), q4, s4, 128, np.uint8))
+    np.testing.assert_array_equal(dev, ref)
+
+
+def test_jnp_matches_ref_under_jit():
+    import jax
+
+    rng = np.random.default_rng(4)
+    acc = rng.integers(I32.min, I32.max, 512, np.int64).astype(np.int32)
+    q, shift = decompose_multiplier(0.0371)
+    fn = jax.jit(lambda a: requant_jnp(a, q, shift, 128, np.uint8))
+    np.testing.assert_array_equal(np.asarray(fn(acc)),
+                                  requant_ref(acc, q, shift, 128, np.uint8))

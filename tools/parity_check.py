@@ -39,15 +39,34 @@ def main() -> int:
         want = run_model(model, feed)["out"]
         got = np.asarray(import_model(model)(feed)["out"])
         dev = float(np.abs(got - want).max() / max(np.abs(want).max(), 1e-9))
-        agree = float((got.argmax(1) == want.argmax(1)).mean())
-        # f32 masks must agree exactly-ish; int8 requant rounds ties
-        # differently on TPU f32 multipliers vs CPU numpy (+-1 u8 on
-        # near-boundary values), flipping ~1-2% of argmax pixels at scale —
-        # the same cross-hardware tolerance quantized runtimes accept.
-        passed = agree >= (0.97 if "int8" in name else 0.999)
+        gm, wm = got.argmax(1), want.argmax(1)
+        agree = float((gm == wm).mean())
+        # Mask-pixel mismatches where the two classes' logits are equal to
+        # within float noise are genuine ties — "correct" is undefined and
+        # any two runtimes (onnxruntime SIMD paths included) can pick
+        # either side.  Count only mismatches with a real logit gap.
+        mism = gm != wm
+        gap = 0.0
+        if mism.any():
+            b, y, x = np.nonzero(mism)
+            gap = float(np.abs(want[b, wm[b, y, x], y, x]
+                               - want[b, gm[b, y, x], y, x]).max())
+        non_tie_exact = not mism.any() or gap < 1e-4
+        # int8: the fixed-point requant (onnx/requant.py) makes the whole
+        # quantized graph platform-exact — demand ZERO non-tie mask
+        # mismatches on every backend and logits within f32 noise
+        # (round-2 bar; the reference's analog golden check is
+        # infur/src/predict_onnx.rs:371-381).  The only float ops left are
+        # the post-dequant bilinear Resize tail, which carries ulp-level
+        # FMA/reassociation noise on TPU — hence the 1e-6 logit ceiling
+        # rather than 0.  f32: bit-for-bit modulo conv accumulation order,
+        # pinned at 0.999 agreement.
+        passed = (non_tie_exact and dev < 1e-6 and agree > 0.9999) \
+            if "int8" in name else agree >= 0.999
         ok &= passed
         print(json.dumps({"model": name, "rel_max_dev": round(dev, 9),
                           "mask_agreement": round(agree, 6),
+                          "mismatch_logit_gap": round(gap, 9),
                           "pass": passed}), flush=True)
     return 0 if ok else 1
 
