@@ -1,0 +1,260 @@
+"""Torchvision checkpoint ingestion: state-dict name mapping -> params pytree.
+
+The reference runs the real zoo ``fcn-resnet50-12-int8.onnx`` downloaded at
+build time (/root/reference/infur-test-gen/build.rs:88-93); this environment
+has no network, so real weights can't be fetched — but the *name mapping*
+from torchvision's ``model.state_dict()`` layout to our pytrees is pure
+bookkeeping and is written + tested now, so a real ``.pth`` drops in the
+moment a file exists (``family@weights.pth`` specs, model_stage.py).
+
+Covered: ``fcn_resnet50`` and ``deeplabv3_resnet50`` (torchvision
+``models.segmentation`` layouts).  Both directions are provided; the
+inverse (pytree -> torch-style keys) exists so tests can synthesize a
+correctly-keyed state dict and prove the round trip reproduces
+``fcn_resnet50_apply`` outputs exactly, and so finetuned params can be
+exported back to the torchvision ecosystem.
+
+Conventions mapped:
+- conv weights: torch OIHW -> our HWIO (transpose (2, 3, 1, 0))
+- batchnorm: weight/bias/running_mean/running_var -> scale/bias/mean/var;
+  ``num_batches_tracked`` is accepted and ignored
+- FCNHead ``classifier.{0,1,4}`` -> head conv1/bn1/conv2+bias2
+- DeepLabHead ``classifier.0`` (ASPP: convs.0 1x1, convs.1-3 dilated 3x3,
+  convs.4 pooled, project) + ``classifier.{1,2,4}`` -> aspp pytree
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import numpy as np
+
+__all__ = [
+    "fcn_resnet50_from_torch_state",
+    "fcn_resnet50_to_torch_state",
+    "deeplabv3_resnet50_from_torch_state",
+    "deeplabv3_resnet50_to_torch_state",
+    "load_torch_checkpoint",
+    "params_from_torch_checkpoint",
+]
+
+_BN_MAP = (("scale", "weight"), ("bias", "bias"),
+           ("mean", "running_mean"), ("var", "running_var"))
+_IGNORED_SUFFIX = ".num_batches_tracked"
+
+# ResNet-50 stage block counts (torchvision layer1..4)
+_BLOCKS = (3, 4, 6, 3)
+
+
+class TorchStateDictError(ValueError):
+    """State dict doesn't match the expected torchvision layout."""
+
+
+def _to_np(v) -> np.ndarray:
+    """Accept numpy arrays or torch tensors without importing torch."""
+    if isinstance(v, np.ndarray):
+        return v
+    detach = getattr(v, "detach", None)
+    if detach is not None:  # torch.Tensor
+        return detach().cpu().numpy()
+    return np.asarray(v)
+
+
+class _Reader:
+    """Tracks consumed keys so leftovers/misses produce precise errors."""
+
+    def __init__(self, state: Mapping[str, Any]):
+        self.state = dict(state)
+        self.used: set[str] = set()
+
+    def conv(self, key: str) -> np.ndarray:
+        """torch OIHW conv weight -> HWIO."""
+        return np.transpose(self.tensor(key + ".weight"), (2, 3, 1, 0))
+
+    def bn(self, key: str) -> dict[str, np.ndarray]:
+        out = {ours: self.tensor(f"{key}.{theirs}")
+               for ours, theirs in _BN_MAP}
+        self.used.add(key + _IGNORED_SUFFIX)  # optional, ignored
+        return out
+
+    def tensor(self, key: str) -> np.ndarray:
+        if key not in self.state:
+            raise TorchStateDictError(f"missing key {key!r}")
+        self.used.add(key)
+        return np.ascontiguousarray(_to_np(self.state[key]), dtype=np.float32)
+
+    def finish(self, what: str) -> None:
+        extra = sorted(set(self.state) - self.used)
+        if extra:
+            raise TorchStateDictError(
+                f"{len(extra)} unexpected keys for {what}: {extra[:8]}...")
+
+
+def _backbone_from(r: _Reader) -> dict[str, Any]:
+    params: dict[str, Any] = {
+        "stem_conv": r.conv("backbone.conv1"),
+        "stem_bn": r.bn("backbone.bn1"),
+    }
+    for li, blocks in enumerate(_BLOCKS):
+        stage = []
+        for bi in range(blocks):
+            pre = f"backbone.layer{li + 1}.{bi}"
+            blk: dict[str, Any] = {}
+            for ci in (1, 2, 3):
+                blk[f"conv{ci}"] = r.conv(f"{pre}.conv{ci}")
+                blk[f"bn{ci}"] = r.bn(f"{pre}.bn{ci}")
+            if f"{pre}.downsample.0.weight" in r.state:
+                blk["down_conv"] = r.conv(f"{pre}.downsample.0")
+                blk["down_bn"] = r.bn(f"{pre}.downsample.1")
+            stage.append(blk)
+        params[f"layer{li + 1}"] = stage
+    return params
+
+
+def _fcn_head_from(r: _Reader, prefix: str) -> dict[str, Any]:
+    """torchvision FCNHead: Sequential(conv3x3, BN, ReLU, Dropout, conv1x1)."""
+    return {
+        "conv1": r.conv(f"{prefix}.0"), "bn1": r.bn(f"{prefix}.1"),
+        "conv2": r.conv(f"{prefix}.4"),
+        "bias2": r.tensor(f"{prefix}.4.bias"),
+    }
+
+
+def fcn_resnet50_from_torch_state(state: Mapping[str, Any]) -> dict[str, Any]:
+    """torchvision ``fcn_resnet50().state_dict()`` -> our params pytree."""
+    r = _Reader(state)
+    params = _backbone_from(r)
+    params["head"] = _fcn_head_from(r, "classifier")
+    if "aux_classifier.0.weight" in r.state:
+        params["aux_head"] = _fcn_head_from(r, "aux_classifier")
+    r.finish("fcn_resnet50")
+    return params
+
+
+def deeplabv3_resnet50_from_torch_state(state: Mapping[str, Any]) -> dict[str, Any]:
+    """torchvision ``deeplabv3_resnet50().state_dict()`` -> params pytree."""
+    r = _Reader(state)
+    params = _backbone_from(r)
+    aspp: dict[str, Any] = {
+        "b0_conv": r.conv("classifier.0.convs.0.0"),
+        "b0_bn": r.bn("classifier.0.convs.0.1"),
+    }
+    for i in range(3):  # dilated branches (rates 12/24/36)
+        aspp[f"b{i + 1}_conv"] = r.conv(f"classifier.0.convs.{i + 1}.0")
+        aspp[f"b{i + 1}_bn"] = r.bn(f"classifier.0.convs.{i + 1}.1")
+    # ASPPPooling = Sequential(AdaptiveAvgPool2d, Conv2d, BN, ReLU)
+    aspp["pool_conv"] = r.conv("classifier.0.convs.4.1")
+    aspp["pool_bn"] = r.bn("classifier.0.convs.4.2")
+    aspp["proj_conv"] = r.conv("classifier.0.project.0")
+    aspp["proj_bn"] = r.bn("classifier.0.project.1")
+    # DeepLabHead tail: Sequential(ASPP, conv3x3, BN, ReLU, conv1x1)
+    aspp["cls_conv"] = r.conv("classifier.1")
+    aspp["cls_bn"] = r.bn("classifier.2")
+    aspp["cls"] = r.conv("classifier.4")
+    aspp["cls_b"] = r.tensor("classifier.4.bias")
+    params["aspp"] = aspp
+    if "aux_classifier.0.weight" in r.state:
+        params["aux_head"] = _fcn_head_from(r, "aux_classifier")
+    r.finish("deeplabv3_resnet50")
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Inverse direction (params pytree -> torch-style state dict)
+# ---------------------------------------------------------------------------
+
+def _put_conv(out: dict, key: str, w_hwio) -> None:
+    out[key + ".weight"] = np.transpose(np.asarray(w_hwio), (3, 2, 0, 1))
+
+
+def _put_bn(out: dict, key: str, bn: Mapping[str, Any]) -> None:
+    for ours, theirs in _BN_MAP:
+        out[f"{key}.{theirs}"] = np.asarray(bn[ours])
+    out[key + _IGNORED_SUFFIX] = np.asarray(0, np.int64)
+
+
+def _backbone_to(params: Mapping[str, Any], out: dict) -> None:
+    _put_conv(out, "backbone.conv1", params["stem_conv"])
+    _put_bn(out, "backbone.bn1", params["stem_bn"])
+    for li in range(4):
+        for bi, blk in enumerate(params[f"layer{li + 1}"]):
+            pre = f"backbone.layer{li + 1}.{bi}"
+            for ci in (1, 2, 3):
+                _put_conv(out, f"{pre}.conv{ci}", blk[f"conv{ci}"])
+                _put_bn(out, f"{pre}.bn{ci}", blk[f"bn{ci}"])
+            if "down_conv" in blk:
+                _put_conv(out, f"{pre}.downsample.0", blk["down_conv"])
+                _put_bn(out, f"{pre}.downsample.1", blk["down_bn"])
+
+
+def _fcn_head_to(head: Mapping[str, Any], prefix: str, out: dict) -> None:
+    _put_conv(out, f"{prefix}.0", head["conv1"])
+    _put_bn(out, f"{prefix}.1", head["bn1"])
+    _put_conv(out, f"{prefix}.4", head["conv2"])
+    out[f"{prefix}.4.bias"] = np.asarray(head["bias2"])
+
+
+def fcn_resnet50_to_torch_state(params: Mapping[str, Any]) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    _backbone_to(params, out)
+    _fcn_head_to(params["head"], "classifier", out)
+    if "aux_head" in params:
+        _fcn_head_to(params["aux_head"], "aux_classifier", out)
+    return out
+
+
+def deeplabv3_resnet50_to_torch_state(params: Mapping[str, Any]) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    _backbone_to(params, out)
+    aspp = params["aspp"]
+    _put_conv(out, "classifier.0.convs.0.0", aspp["b0_conv"])
+    _put_bn(out, "classifier.0.convs.0.1", aspp["b0_bn"])
+    for i in range(3):
+        _put_conv(out, f"classifier.0.convs.{i + 1}.0", aspp[f"b{i + 1}_conv"])
+        _put_bn(out, f"classifier.0.convs.{i + 1}.1", aspp[f"b{i + 1}_bn"])
+    _put_conv(out, "classifier.0.convs.4.1", aspp["pool_conv"])
+    _put_bn(out, "classifier.0.convs.4.2", aspp["pool_bn"])
+    _put_conv(out, "classifier.0.project.0", aspp["proj_conv"])
+    _put_bn(out, "classifier.0.project.1", aspp["proj_bn"])
+    _put_conv(out, "classifier.1", aspp["cls_conv"])
+    _put_bn(out, "classifier.2", aspp["cls_bn"])
+    _put_conv(out, "classifier.4", aspp["cls"])
+    out["classifier.4.bias"] = np.asarray(aspp["cls_b"])
+    if "aux_head" in params:
+        _fcn_head_to(params["aux_head"], "aux_classifier", out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# File loading + family dispatch
+# ---------------------------------------------------------------------------
+
+_FROM_TORCH = {
+    "fcn_resnet50": fcn_resnet50_from_torch_state,
+    "deeplabv3": deeplabv3_resnet50_from_torch_state,
+    "deeplabv3_resnet50": deeplabv3_resnet50_from_torch_state,
+}
+
+
+def load_torch_checkpoint(path: str) -> dict[str, np.ndarray]:
+    """Read a torchvision-style state dict from ``.pt``/``.pth`` (via torch)
+    or ``.npz`` (keys = state-dict names)."""
+    if path.endswith((".pt", ".pth")):
+        import torch  # CPU torch is in the base image
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+        state = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
+        return {k: _to_np(v) for k, v in state.items()}
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
+
+
+def looks_like_torch_state(flat: Mapping[str, Any]) -> bool:
+    return "backbone.conv1.weight" in flat
+
+
+def params_from_torch_checkpoint(family: str, path: str) -> dict[str, Any]:
+    if family not in _FROM_TORCH:
+        raise TorchStateDictError(
+            f"no torchvision mapping for family {family!r} "
+            f"(have: {sorted(_FROM_TORCH)})")
+    return _FROM_TORCH[family](load_torch_checkpoint(path))
