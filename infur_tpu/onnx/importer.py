@@ -489,8 +489,21 @@ def _javgpool(attrs, x):
                           window_dimensions=dims, window_strides=strd,
                           window_dilation=dil, padding=pad)
     if attrs.get("count_include_pad", 0):
-        cnt = float(np.prod(kernel))
-        return (s / cnt).astype(x.dtype)
+        # count explicit pads in the divisor but NOT the ceil_mode end
+        # extension (torch/ort semantics — mirrors oracle._avgpool)
+        nd = len(kernel)
+        expl = oracle.resolve_pads(attrs, x.shape[2:], kernel,
+                                   strides, dilations)
+        ones = jnp.ones((1, 1) + tuple(
+            x.shape[2 + i] + expl[i][0] + expl[i][1] for i in range(nd)),
+            jnp.float32)
+        ext = [(0, 0), (0, 0)] + [
+            ((pads[i][0] - expl[i][0]), (pads[i][1] - expl[i][1]))
+            for i in range(nd)]
+        cnt = lax.reduce_window(ones, jnp.float32(0), lax.add,
+                                window_dimensions=dims, window_strides=strd,
+                                window_dilation=dil, padding=ext)
+        return (s / jnp.maximum(cnt, 1.0)).astype(x.dtype)
     ones = jnp.ones((1, 1) + x.shape[2:], jnp.float32)
     cnt = lax.reduce_window(ones, jnp.float32(0), lax.add,
                             window_dimensions=dims, window_strides=strd,

@@ -611,10 +611,22 @@ def _avgpool(attrs, x):
     view = _window_view(xp, kernel, strides, dilations)
     s = view.sum(axis=(4, 5), dtype=np.float64)
     if include_pad:
-        cnt = kernel[0] * kernel[1]
-        return (s / cnt).astype(x.dtype)
-    ones = np.ones((1, 1) + x.shape[2:], np.float64)
-    onesp = np.pad(ones, ((0, 0), (0, 0)) + tuple(pads))
+        # count explicit pad cells, but NOT the ceil_mode end extension:
+        # torch/onnxruntime exclude out-of-bounds ceil windows from the
+        # divisor even with count_include_pad=1 (pinned by the torch
+        # differential test, tests/test_oracle_vs_torch.py)
+        nd = len(kernel)
+        expl = resolve_pads(attrs, x.shape[2:], kernel,
+                            strides, dilations)
+        ones = np.ones((1, 1) + tuple(
+            x.shape[2 + i] + expl[i][0] + expl[i][1] for i in range(nd)),
+            np.float64)
+        onesp = np.pad(ones, ((0, 0), (0, 0)) + tuple(
+            (0, (pads[i][0] - expl[i][0]) + (pads[i][1] - expl[i][1]))
+            for i in range(nd)))
+    else:
+        ones = np.ones((1, 1) + x.shape[2:], np.float64)
+        onesp = np.pad(ones, ((0, 0), (0, 0)) + tuple(pads))
     cnt = _window_view(onesp, kernel, strides, dilations).sum(axis=(4, 5))
     return (s / np.maximum(cnt, 1)).astype(x.dtype)
 

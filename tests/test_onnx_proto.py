@@ -117,7 +117,15 @@ class TestProtocCrossValidation:
         import subprocess
 
         if shutil.which("protoc") is None:
-            pytest.skip("protoc not available")
+            # The protoc round trip is the one external witness for our
+            # protobuf codec — not skippable in this environment or CI
+            # (VERDICT r1 §4); set INFUR_ALLOW_NO_PROTOC=1 only on a
+            # machine that genuinely lacks protoc.
+            import os
+            if os.environ.get("INFUR_ALLOW_NO_PROTOC") == "1":
+                pytest.skip("protoc not available (explicitly allowed)")
+            pytest.fail("protoc not on PATH; install it or set "
+                        "INFUR_ALLOW_NO_PROTOC=1")
         g = GraphBuilder("xval")
         x = g.input("x", np.float32, (1, 3, 4, 4))
         w = g.init("w", np.arange(6, dtype=np.float32).reshape(2, 3, 1, 1))
