@@ -110,8 +110,15 @@ def cmd_play(args: argparse.Namespace) -> int:
             _drain_ctrl(handle, args, state)
     finally:
         handle.stop()
-    if args.save_config and args.config:
-        cfg.save(args.config)
+    # persist settings on clean shutdown (the reference saves ProcConfig on
+    # close, gui.rs:349-352): always when a config file is in play, or to
+    # the default location with --save-config
+    if args.config or args.save_config:
+        from infur_tpu.runtime.config import DEFAULT_PATH
+        try:
+            cfg.save(args.config or DEFAULT_PATH)
+        except OSError as e:
+            print(f"warning: could not save config: {e}", file=sys.stderr)
     print(f"processed {n} frames")
     return exit_code
 
@@ -170,8 +177,10 @@ def cmd_view(args: argparse.Namespace) -> int:
         cfg.model_input = args.model
     if args.model_bucket is not None:
         cfg.model_bucket = args.model_bucket or None
+    from infur_tpu.runtime.config import DEFAULT_PATH
     print(f"viewer at http://{args.host}:{args.port}/", flush=True)
-    serve(args.host, args.port, config=cfg)
+    serve(args.host, args.port, config=cfg,
+          config_path=args.config or DEFAULT_PATH)
     return 0
 
 

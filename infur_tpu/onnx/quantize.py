@@ -156,7 +156,12 @@ def quantize_static(model: ModelProto,
             continue
         op = node.op_type
 
-        if op == "Conv" and node.input[1] in inits:
+        if op == "Conv" and node.input[1] in inits and \
+                (node.input[0] in qmap or node.input[0] in ranges) and \
+                relu_fold_target(node)[0] in ranges:
+            # inputs without a calibration range (initializer-fed or
+            # integer tensors calibrate() skipped) fall through to the
+            # f32 path instead of KeyError-ing (ADVICE r1)
             x = node.input[0]
             w = inits[node.input[1]]
             b = inits.get(node.input[2]) if len(node.input) > 2 and \
@@ -189,7 +194,8 @@ def quantize_static(model: ModelProto,
                 skip.add(node_index[id(relu)])
             continue
 
-        if op == "Add" and all(i in ranges for i in node.input):
+        if op == "Add" and all(i in ranges for i in node.input) and \
+                relu_fold_target(node)[0] in ranges:
             aq, ap = ensure_q(node.input[0])
             bq2, bp = ensure_q(node.input[1])
             range_src, relu = relu_fold_target(node)

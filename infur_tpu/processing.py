@@ -232,7 +232,10 @@ class Scale(Processor[float, Frame, Frame]):
 
     def __init__(self, factor: float = 1.0):
         self.factor = ValidScale(factor)
-        self._dirty = False
+        # starts dirty, like the reference's Scale::default() (dirty: true,
+        # processing.rs:185-192): a fresh stage has never produced output,
+        # so the same input WOULD produce new output
+        self._dirty = True
 
     def control(self, cmd: float) -> "Scale":
         new = ValidScale(cmd)

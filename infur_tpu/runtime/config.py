@@ -23,7 +23,12 @@ class ProcConfig:
     paused: bool = False
     model_input: str = ""
     pix_fmt: str = "bgr24"      # "yuv420p" = decode-native planar frames
-    model_bucket: int | None = None  # round model input dims up to a multiple
+    # Round model input dims up to this multiple.  Default ON for the
+    # interactive frontends (CLI/viewer construct their app from this
+    # config): a continuous scale slider otherwise compiles one executable
+    # per position, ~20-40 s each on TPU (SURVEY §7 hard part 3).  Exact-
+    # shape mode (None / CLI --model-bucket 0) remains for parity tests.
+    model_bucket: int | None = 32
 
     @classmethod
     def load(cls, path: str = DEFAULT_PATH) -> "ProcConfig":

@@ -86,8 +86,14 @@ setInterval(async()=>{const s=await(await fetch('/state')).json();
 class ViewerState:
     """Shared state between the frame-pump thread and HTTP handlers."""
 
-    def __init__(self, handle: ProcHandle):
+    def __init__(self, handle: ProcHandle, config=None):
         self.handle = handle
+        # live config mirror: commands update it so a clean shutdown can
+        # persist the session (reference saves ProcConfig on close,
+        # gui.rs:349-352); also the source of pix_fmt for UI-initiated
+        # Play so a decode-native yuv420p session isn't silently dropped
+        # back to packed BGR
+        self.config = config
         self.lock = threading.Lock()
         self.new_frame = threading.Condition(self.lock)  # wakes /stream
         self.seq = 0                       # bumps once per displayed frame
@@ -229,14 +235,27 @@ class ViewerState:
             }).encode()
 
     def apply_cmd(self, c: dict) -> None:
+        cfg = self.config
         if "scale" in c:
             self.handle.send(ScaleCmd(float(c["scale"])))
+            if cfg is not None:
+                cfg.scale = float(c["scale"])
         if "paused" in c:
             self.handle.send(Pause(bool(c["paused"])))
+            if cfg is not None:
+                cfg.paused = bool(c["paused"])
         if "video" in c:
-            self.handle.send(Play([str(v) for v in c["video"]]))
+            # preserve the session wire format (or take an explicit one)
+            pix = str(c.get("pix_fmt")
+                      or getattr(cfg, "pix_fmt", None) or "bgr24")
+            self.handle.send(Play([str(v) for v in c["video"]], pix_fmt=pix))
+            if cfg is not None:
+                cfg.video_input = [str(v) for v in c["video"]]
+                cfg.pix_fmt = pix
         if "model" in c:
             self.handle.send(ModelCmd(str(c["model"])))
+            if cfg is not None:
+                cfg.model_input = str(c["model"])
         if c.get("stop"):
             self.handle.send(Stop())
         if c.get("exit"):
@@ -336,9 +355,12 @@ def make_handler(state: ViewerState):
 
 def serve(host: str = "127.0.0.1", port: int = 8793,
           config=None, ready_event: threading.Event | None = None,
-          handle: ProcHandle | None = None) -> None:
+          handle: ProcHandle | None = None,
+          config_path: str | None = None) -> None:
     """Run the viewer until /cmd {"exit": true} (close handshake:
-    Stop+Exit to the proc thread, then join — gui.rs:336-347)."""
+    Stop+Exit to the proc thread, then join — gui.rs:336-347).  On clean
+    shutdown the live config is saved to ``config_path`` (the reference
+    persists ProcConfig via eframe on close, gui.rs:349-352)."""
     if handle is None:
         from infur_tpu.app import ProcessingApp
         bucket = getattr(config, "model_bucket", None)
@@ -346,7 +368,7 @@ def serve(host: str = "127.0.0.1", port: int = 8793,
     if config is not None:
         for cmd in config.commands():
             handle.send(cmd)
-    state = ViewerState(handle)
+    state = ViewerState(handle, config=config)
     pump = threading.Thread(target=state.pump, name="viewer-pump", daemon=True)
     pump.start()
     server = ThreadingHTTPServer((host, port), make_handler(state))
@@ -363,3 +385,8 @@ def serve(host: str = "127.0.0.1", port: int = 8793,
             state.new_frame.notify_all()  # release blocked /stream threads
         handle.stop()
         pump.join(timeout=2)
+        if config is not None and config_path is not None:
+            try:
+                config.save(config_path)
+            except OSError:
+                pass  # persisting settings must never turn exit into a crash

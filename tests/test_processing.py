@@ -56,8 +56,15 @@ class TestScaleStage:
         np.testing.assert_array_equal(out.value.img, img)
         assert out.value.img is not img  # decoupled from the input buffer
 
+    def test_starts_dirty(self):
+        """A fresh Scale is dirty, like the reference's Scale::default()
+        (dirty: true, processing.rs:185-192): it has never produced
+        output, so the same input WOULD produce new output."""
+        assert Scale(0.5).is_dirty()
+
     def test_control_sets_dirty_only_on_change(self):
         s = Scale(0.5)
+        s.advance(Frame(1, np.zeros((8, 8, 3), np.uint8)), Cell())
         assert not s.is_dirty()
         s.control(0.5)
         assert not s.is_dirty()

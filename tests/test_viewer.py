@@ -184,3 +184,37 @@ def test_abandoned_stream_on_idle_viewer_exits_cleanly():
     _post(f"http://127.0.0.1:{port}", {"exit": True})
     t.join(timeout=10)
     assert not t.is_alive()
+
+
+def test_config_persisted_on_clean_exit(tmp_path):
+    """Reference behavior: ProcConfig is saved on close (gui.rs:349-352)
+    and replayed on the next start — run, change scale via /cmd, exit,
+    reload: the scale (and a UI-initiated video + its wire format) are
+    restored."""
+    from infur_tpu.runtime.config import ProcConfig
+    from infur_tpu.viewer import serve
+
+    cfg_path = str(tmp_path / "viewer_config.json")
+    cfg = ProcConfig(video_input=["synth:64x48@30:10"], scale=1.0,
+                     pix_fmt="yuv420p")
+    ready = threading.Event()
+    port = 18795
+    t = threading.Thread(target=serve, args=("127.0.0.1", port),
+                         kwargs={"config": cfg, "ready_event": ready,
+                                 "config_path": cfg_path},
+                         daemon=True)
+    t.start()
+    assert ready.wait(10)
+    url = f"http://127.0.0.1:{port}"
+    _post(url, {"scale": 0.25})
+    _post(url, {"video": ["synth:32x32@10:5"]})
+    _post(url, {"exit": True})
+    t.join(timeout=10)
+    assert not t.is_alive()
+
+    restored = ProcConfig.load(cfg_path)
+    assert restored.scale == 0.25
+    assert restored.video_input == ["synth:32x32@10:5"]
+    # a decode-native session keeps its wire format across UI-initiated
+    # playback (round-1 ADVICE: it used to fall back to bgr24)
+    assert restored.pix_fmt == "yuv420p"
