@@ -59,7 +59,7 @@ struct ffp_handle;
 
 namespace {
 
-constexpr int kHeaderTimeoutMs = 10000;  // decoder.rs:89-111
+constexpr int kDefaultHeaderTimeoutMs = 10000;  // decoder.rs:89-111
 
 struct Ring {
   std::vector<std::vector<uint8_t>> slots;
@@ -71,26 +71,40 @@ struct Ring {
   int producer_error = FFP_OK;
 };
 
-// Minimal sideband parser: section tracking (Input#/Output#) + first video
-// stream line in the Output section gives geometry/fps.
-struct InfoParse {
-  enum Section { NONE, INPUT, OUTPUT } section = NONE;
+// Full sideband parser, the native twin of the reference's InfoParser
+// (reference ff-video/src/parse.rs):
+//   * Input#/Output# headers set the section context (parse.rs:82-112);
+//   * "Stream #N:M: Video:" lines yield geometry/fps for that section
+//     (parse.rs:129-197) — the first OUTPUT video stream is the decode
+//     contract, the first INPUT one is surfaced as telemetry;
+//   * "[codec]"-bracketed lines become codec infos (parse.rs:115-117);
+//   * "frame= N fps= ... dup= drop= speed=" progress lines become
+//     FrameUpdates (parse.rs:200-230) — free decode-throughput telemetry.
+struct VideoStreamInfo {
   int width = 0, height = 0;
   double fps = 0.0;
-  bool have_video = false;
+  bool present = false;
+};
+
+struct FrameUpdateInfo {
+  int64_t frame = -1;  // -1: none seen yet
+  double fps = -1.0;
+  int64_t dup = -1, drop = -1;
+  double speed = -1.0;
+};
+
+struct InfoParse {
+  enum Section { NONE, INPUT, OUTPUT } section = NONE;
+  VideoStreamInfo output, input;
+  FrameUpdateInfo update;
+  std::string codecs;            // "[h264] msg" lines, newline-joined
   std::string last_line;
   std::mutex mu;
 
-  void feed_line(const std::string& line) {
-    std::lock_guard<std::mutex> lk(mu);
-    if (!line.empty()) last_line = line;
-    if (line.rfind("Input #", 0) == 0) { section = INPUT; return; }
-    if (line.rfind("Output #", 0) == 0) { section = OUTPUT; return; }
-    if (section != OUTPUT || have_video) return;
-    // "  Stream #0:0: Video: rawvideo ..., bgr24, 1280x720, q=..., 30 fps,"
-    const char* s = line.c_str();
-    if (!strstr(s, "Stream #") || !strstr(s, "Video:")) return;
-    // geometry: first "<digits>x<digits>" token
+  static constexpr size_t kCodecCap = 8192;
+
+  // parse "<digits>x<digits>" + "<num> fps|tbr" out of a stream line
+  static void parse_stream_line(const char* s, VideoStreamInfo* v) {
     for (const char* p = s; *p; ++p) {
       if (isdigit(*p) && (p == s || !isdigit(p[-1]))) {
         char* end = nullptr;
@@ -99,24 +113,66 @@ struct InfoParse {
           char* end2 = nullptr;
           long h = strtol(end + 1, &end2, 10);
           if (w > 0 && h > 0 && w < 65536 && h < 65536) {
-            width = (int)w; height = (int)h;
+            v->width = (int)w;
+            v->height = (int)h;
             p = end2 - 1;
           }
         }
       }
     }
-    // fps: "<num> fps" or "<num> tbr"
     for (const char* key : {" fps", " tbr"}) {
       const char* k = strstr(s, key);
       while (k) {
         const char* q = k;
         while (q > s && (isdigit(q[-1]) || q[-1] == '.')) --q;
-        if (q < k) { fps = atof(std::string(q, k - q).c_str()); break; }
+        if (q < k) { v->fps = atof(std::string(q, k - q).c_str()); break; }
         k = strstr(k + 1, key);
       }
-      if (fps > 0) break;
+      if (v->fps > 0) break;
     }
-    if (width > 0) have_video = true;
+    if (v->width > 0) v->present = true;
+  }
+
+  // parse "key=  <num>" (ffmpeg pads values with spaces)
+  static bool num_after(const char* s, const char* key, double* out) {
+    const char* k = strstr(s, key);
+    if (!k) return false;
+    const char* p = k + strlen(key);
+    while (*p == ' ') ++p;
+    char* end = nullptr;
+    double v = strtod(p, &end);
+    if (end == p) return false;
+    *out = v;
+    return true;
+  }
+
+  void feed_line(const std::string& line) {
+    std::lock_guard<std::mutex> lk(mu);
+    if (!line.empty()) last_line = line;
+    const char* s = line.c_str();
+    if (line.rfind("Input #", 0) == 0) { section = INPUT; return; }
+    if (line.rfind("Output #", 0) == 0) { section = OUTPUT; return; }
+    if (line.rfind("frame=", 0) == 0) {  // progress line (parse.rs:200-230)
+      double v;
+      if (num_after(s, "frame=", &v)) update.frame = (int64_t)v;
+      if (num_after(s, "fps=", &v)) update.fps = v;
+      if (num_after(s, "dup=", &v)) update.dup = (int64_t)v;
+      if (num_after(s, "drop=", &v)) update.drop = (int64_t)v;
+      if (num_after(s, "speed=", &v)) update.speed = v;
+      return;
+    }
+    if (!line.empty() && line[0] == '[' &&
+        line.find(']') != std::string::npos) {  // codec info (parse.rs:115)
+      if (codecs.size() + line.size() + 1 <= kCodecCap) {
+        if (!codecs.empty()) codecs.push_back('\n');
+        codecs += line;
+      }
+      return;
+    }
+    if (section == NONE || !strstr(s, "Stream #") || !strstr(s, "Video:"))
+      return;
+    VideoStreamInfo* v = section == OUTPUT ? &output : &input;
+    if (!v->present) parse_stream_line(s, v);
   }
 };
 
@@ -136,6 +192,7 @@ extern "C" struct ffp_handle {
   std::mutex header_mu;
   std::condition_variable header_cv;
   bool header_ready = false;
+  bool stderr_closed = false;  // ffmpeg died before a header: fail fast
   int exit_code = -9999;
 };
 
@@ -156,7 +213,12 @@ void stderr_loop(ffp_handle* h) {
         cur.push_back(c);
       }
     }
-    if (h->info.have_video) {
+    bool have_output;
+    {
+      std::lock_guard<std::mutex> ilk(h->info.mu);
+      have_output = h->info.output.present;
+    }
+    if (have_output) {
       std::lock_guard<std::mutex> lk(h->header_mu);
       if (!h->header_ready) {
         h->header_ready = true;
@@ -165,8 +227,11 @@ void stderr_loop(ffp_handle* h) {
     }
   }
   if (!cur.empty()) h->info.feed_line(cur);
-  // EOF on stderr: wake a waiter so open() can fail fast
+  // EOF on stderr (ffmpeg died, e.g. nonexistent input): set the flag the
+  // open() predicate checks so it fails fast instead of sitting out the
+  // whole header timeout
   std::lock_guard<std::mutex> lk(h->header_mu);
+  h->stderr_closed = true;
   h->header_cv.notify_all();
 }
 
@@ -221,10 +286,12 @@ void reader_loop(ffp_handle* h) {
 extern "C" {
 
 // Open: argv-style inputs; ring_depth frames of read-ahead (>=1);
-// pix_fmt "bgr24" (3 B/px) or "yuv420p" (1.5 B/px, decode-native planar).
+// pix_fmt "bgr24" (3 B/px) or "yuv420p" (1.5 B/px, decode-native planar);
+// header_timeout_ms <= 0 selects the default 10 s (decoder.rs:89-111).
 int ffp_open(const char** inputs, int n_inputs, int ring_depth,
-             const char* pix_fmt, ffp_handle** out) {
+             const char* pix_fmt, int header_timeout_ms, ffp_handle** out) {
   if (!inputs || n_inputs <= 0 || !out || ring_depth < 1) return FFP_EARG;
+  if (header_timeout_ms <= 0) header_timeout_ms = kDefaultHeaderTimeoutMs;
   if (!pix_fmt) pix_fmt = "bgr24";
   const bool yuv = strcmp(pix_fmt, "yuv420p") == 0;
   if (!yuv && strcmp(pix_fmt, "bgr24") != 0) return FFP_EARG;
@@ -271,11 +338,12 @@ int ffp_open(const char** inputs, int n_inputs, int ring_depth,
   h->stderr_fd = err_pipe[0];
   h->stderr_thread = std::thread(stderr_loop, h);
 
-  // block <= 10 s for the Output stream header
+  // block for the Output stream header; a dead subprocess (stderr EOF
+  // without a header) releases the wait immediately
   {
     std::unique_lock<std::mutex> lk(h->header_mu);
-    h->header_cv.wait_for(lk, std::chrono::milliseconds(kHeaderTimeoutMs),
-                          [&] { return h->header_ready; });
+    h->header_cv.wait_for(lk, std::chrono::milliseconds(header_timeout_ms),
+                          [&] { return h->header_ready || h->stderr_closed; });
     if (!h->header_ready) {
       lk.unlock();
       kill(pid, SIGKILL);
@@ -288,9 +356,12 @@ int ffp_open(const char** inputs, int n_inputs, int ring_depth,
       return FFP_EHEADER;
     }
   }
-  h->width = h->info.width;
-  h->height = h->info.height;
-  h->fps = h->info.fps;
+  {
+    std::lock_guard<std::mutex> ilk(h->info.mu);
+    h->width = h->info.output.width;
+    h->height = h->info.output.height;
+    h->fps = h->info.output.fps;
+  }
   h->frame_bytes = yuv ? (size_t)h->width * h->height * 3 / 2
                        : (size_t)h->width * h->height * 3;
 
@@ -336,6 +407,38 @@ int ffp_last_line(ffp_handle* h, char* buf, size_t n) {
   if (!h || !buf || n == 0) return FFP_EARG;
   std::lock_guard<std::mutex> lk(h->info.mu);
   snprintf(buf, n, "%s", h->info.last_line.c_str());
+  return FFP_OK;
+}
+
+// First INPUT-section video stream (telemetry; zeros if none parsed yet).
+int ffp_input_geometry(ffp_handle* h, int* w, int* hh, double* fps) {
+  if (!h || !w || !hh || !fps) return FFP_EARG;
+  std::lock_guard<std::mutex> lk(h->info.mu);
+  *w = h->info.input.width;
+  *hh = h->info.input.height;
+  *fps = h->info.input.fps;
+  return FFP_OK;
+}
+
+// Latest "frame= fps= dup= drop= speed=" progress update (parse.rs:200-230).
+// Returns the frame counter (>=0) or -1 if no update has been seen;
+// missing optional fields stay at -1 / -1.0.
+int64_t ffp_frame_update(ffp_handle* h, double* fps, int64_t* dup,
+                         int64_t* drop, double* speed) {
+  if (!h) return FFP_EARG;
+  std::lock_guard<std::mutex> lk(h->info.mu);
+  if (fps) *fps = h->info.update.fps;
+  if (dup) *dup = h->info.update.dup;
+  if (drop) *drop = h->info.update.drop;
+  if (speed) *speed = h->info.update.speed;
+  return h->info.update.frame;
+}
+
+// Newline-joined "[codec] ..." stderr lines seen so far (parse.rs:115-117).
+int ffp_codec_lines(ffp_handle* h, char* buf, size_t n) {
+  if (!h || !buf || n == 0) return FFP_EARG;
+  std::lock_guard<std::mutex> lk(h->info.mu);
+  snprintf(buf, n, "%s", h->info.codecs.c_str());
   return FFP_OK;
 }
 

