@@ -8,12 +8,22 @@ composites host-side too, gui.rs:317-331).  Baseline target: 60 fps.
 
 TPU-native ingest: frames travel in decode-native planar YUV420 (1.5 B/px
 — half of packed BGR) and the color conversion happens ON DEVICE, fused
-into the preprocess by XLA.  Compact per-frame payloads return (class
-mask u8 + confidence u8 at model resolution).  Frames batch 8 per
-dispatch with one batch in flight — see BENCH_NOTES.md for the relay
-transport measurements that force batching here.
+into the preprocess by XLA.  The relay transport is the binding constraint
+(~45 MB/s combined, BENCH_NOTES.md), so the D2H payload is packed:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+  confq (default): class mask u8 at model res + confidence u8 at QUARTER
+      resolution (device 2x2 mean) -> 1.25 B/px (was 2 B/px in round 1)
+  p53:  5-bit class + 3-bit confidence in ONE byte -> 1 B/px
+      (INFUR_BENCH_PACK=p53; 8 alpha levels -> visible banding)
+  full: round-1 payload (mask u8 + conf u8), INFUR_BENCH_PACK=full
+
+Frames batch 8 per dispatch with one batch in flight (the relay degrades
+beyond 1 — BENCH_NOTES.md).
+
+Prints ONE JSON line.  ``value`` is the best-of-ROUNDS fps (the relay
+drifts >2x between identical runs); the line also carries every round,
+the median, and p50/p99 per-frame latency so the optimism is visible in
+the artifact itself.
 """
 
 from __future__ import annotations
@@ -28,9 +38,11 @@ import numpy as np
 BASELINE_FPS = 60.0
 W, H = 1920, 1080
 SCALE = 0.5
-BATCH = 8
+BATCH = int(os.environ.get("INFUR_BENCH_BATCH", "8"))
 N_FIXTURE = 16
-MEASURE_BATCHES = 6
+MEASURE_BATCHES = max(48 // BATCH, 3)
+ROUNDS = 5
+PACK = os.environ.get("INFUR_BENCH_PACK", "confq")  # confq | p53 | full
 
 
 def _fixture_path() -> str:
@@ -51,13 +63,23 @@ def _fixture_path() -> str:
     return path
 
 
-def _emit(fps: float) -> None:
-    print(json.dumps({
+def _emit(rounds_fps: list[float], lat_ms: list[float]) -> None:
+    best = max(rounds_fps, default=0.0)
+    med = float(np.median(rounds_fps)) if rounds_fps else 0.0
+    out = {
         "metric": "e2e_fps_1080p_fcn_resnet50_scale0.5",
-        "value": round(fps, 2),
+        "value": round(best, 2),
         "unit": "fps",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
-    }), flush=True)
+        "vs_baseline": round(best / BASELINE_FPS, 3),
+        "aggregation": f"best_of_{ROUNDS}",
+        "rounds_fps": [round(f, 2) for f in rounds_fps],
+        "median_fps": round(med, 2),
+        "payload": PACK,
+    }
+    if lat_ms:
+        out["frame_latency_p50_ms"] = round(float(np.percentile(lat_ms, 50)), 1)
+        out["frame_latency_p99_ms"] = round(float(np.percentile(lat_ms, 99)), 1)
+    print(json.dumps(out), flush=True)
 
 
 def main() -> int:
@@ -66,10 +88,11 @@ def main() -> int:
     # complete — BENCH_NOTES.md).  A watchdog guarantees the driver still
     # gets a result line: the best completed round so far, or 0.
     import threading
-    best_so_far: list[float] = []
+    rounds_done: list[float] = []
+    lat_ms: list[float] = []
 
     def _watchdog():
-        _emit(max(best_so_far, default=0.0))
+        _emit(rounds_done, lat_ms)
         os._exit(0)
 
     timer = threading.Timer(480.0, _watchdog)
@@ -91,12 +114,22 @@ def main() -> int:
 
     @jax.jit
     def step(params, yuv_flat_batch):
-        """(B, oh*ow*3/2) I420 u8 -> (mask u8 (B,oh,ow), conf u8)."""
+        """(B, oh*ow*3/2) I420 u8 -> packed mask/conf (mode-dependent)."""
         x = jax.vmap(lambda f: i420_to_normalized_pallas(
             f, oh, ow, compute_dtype="bfloat16"))(yuv_flat_batch)
         scores = _fcn_forward(params, x, "bfloat16")["out"]
         mask = jnp.argmax(scores, axis=1).astype(jnp.uint8)
         conf = jnp.clip(jnp.max(scores, axis=1) * 255.0, 0, 255).astype(jnp.uint8)
+        if PACK == "p53":
+            # one byte per pixel: class in the high 5 bits (21 < 32), conf's
+            # top 3 bits below
+            return ((mask << 3) | (conf >> 5),)
+        if PACK == "confq":
+            # conf at quarter resolution: device-side 2x2 mean
+            b = conf.shape[0]
+            c4 = conf.reshape(b, oh // 2, 2, ow // 2, 2).astype(jnp.uint16)
+            confq = (c4.sum(axis=(2, 4)) // 4).astype(jnp.uint8)
+            return mask, confq
         return mask, conf
 
     rdr = RvfReader(_fixture_path())
@@ -115,12 +148,23 @@ def main() -> int:
             scale_i420(frames[(i0 + j) % N_FIXTURE], H, W, oh, ow)
             for j in range(BATCH)])
 
-    def composite(small_yuv: np.ndarray, mask: np.ndarray,
-                  conf: np.ndarray) -> np.ndarray:
+    def unpack(outs) -> tuple[np.ndarray, np.ndarray]:
+        """Device payload -> full-res (mask u8, conf u8) on host."""
+        if PACK == "p53":
+            b = np.asarray(outs[0])
+            return b >> 3, (b & 7) << 5
+        mask = np.asarray(outs[0])
+        conf = np.asarray(outs[1])
+        if PACK == "confq":
+            conf = conf.repeat(2, axis=1).repeat(2, axis=2)
+        return mask, conf
+
+    def composite(small_yuv: np.ndarray, outs) -> np.ndarray:
         """Host overlay blend over the Y plane's gray (display-path
         stand-in for sinks that want host pixels; the interactive app
-        composites on device via the Pallas kernel).  int16 math, minimal
+        composites on device via the Pallas kernel).  int32 math, minimal
         temporaries."""
+        mask, conf = unpack(outs)
         yplane = small_yuv[:, : oh * ow].reshape(-1, oh, ow)
         rgb = palette[mask % len(palette)].astype(np.int32)
         a = conf.astype(np.int32)[..., None]
@@ -133,47 +177,52 @@ def main() -> int:
 
     # warmup / compile
     sm = host_stage(0)
-    m, c = step(params, jax.device_put(sm))
-    composite(sm, np.asarray(m), np.asarray(c))
+    composite(sm, step(params, jax.device_put(sm)))
 
     # measured: one batch in flight on the device; host composites run in
-    # a worker pool overlapping the next batch's device time.  The relay's
-    # throughput is highly nondeterministic run to run (BENCH_NOTES.md), so
-    # take the best of ROUNDS independent measurement rounds.
+    # a worker pool overlapping the next batch's device time.  Per-batch
+    # latency (host scale start -> composite done) divides into per-frame
+    # p50/p99; the relay's throughput is highly nondeterministic run to
+    # run (BENCH_NOTES.md), so the headline is best-of-ROUNDS with every
+    # round reported.
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
     pool = ThreadPoolExecutor(4)
     DEPTH = 1  # batches in flight (the relay degrades beyond 1)
-    ROUNDS = 5  # best-of: relay throughput drifts hugely between rounds
 
     def run_round() -> float:
-        t0 = time.perf_counter()
+        t_round = time.perf_counter()
         inflight: deque = deque()
         composites = []
         n_frames = 0
+
+        def finish(entry):
+            t0, psm, outs = entry
+            host = [np.asarray(o) for o in outs]
+
+            def work():
+                composite(psm, host)
+                lat_ms.append((time.perf_counter() - t0) * 1e3)
+            composites.append(pool.submit(work))
+
         for i in range(MEASURE_BATCHES):
+            t0 = time.perf_counter()
             small = host_stage(i * BATCH)
-            inflight.append((small, step(params, jax.device_put(small))))
-            if len(inflight) > DEPTH:
-                psm, (pm, pc) = inflight.popleft()
-                composites.append(pool.submit(
-                    composite, psm, np.asarray(pm), np.asarray(pc)))
-                n_frames += BATCH
-        while inflight:
-            psm, (pm, pc) = inflight.popleft()
-            composites.append(pool.submit(
-                composite, psm, np.asarray(pm), np.asarray(pc)))
+            inflight.append((t0, small, step(params, jax.device_put(small))))
             n_frames += BATCH
+            if len(inflight) > DEPTH:
+                finish(inflight.popleft())
+        while inflight:
+            finish(inflight.popleft())
         for f in composites:
             f.result()
-        return n_frames / (time.perf_counter() - t0)
+        return n_frames / (time.perf_counter() - t_round)
 
     for _ in range(ROUNDS):
-        best_so_far.append(run_round())
-    fps = max(best_so_far)
+        rounds_done.append(run_round())
     pool.shutdown()
     timer.cancel()
-    _emit(fps)
+    _emit(rounds_done, lat_ms)
     return 0
 
 

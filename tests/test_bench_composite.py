@@ -30,3 +30,27 @@ def test_composite_matches_float_reference(rng):
     assert np.abs(got.astype(np.float64) - ref).max() <= 1.0
     # at conf=255 the composite must equal the palette exactly
     np.testing.assert_array_equal(got, palette[mask % 20].astype(np.uint8))
+
+
+def test_p53_pack_round_trip(rng):
+    """5-bit class + 3-bit conf in one byte: class exact, conf to 32."""
+    mask = rng.integers(0, 21, (2, 8, 8)).astype(np.uint8)
+    conf = rng.integers(0, 256, (2, 8, 8)).astype(np.uint8)
+    packed = (mask << 3) | (conf >> 5)
+    m2, c2 = packed >> 3, (packed & 7) << 5
+    np.testing.assert_array_equal(m2, mask)
+    assert np.abs(c2.astype(int) - conf.astype(int)).max() < 32
+
+
+def test_confq_quarter_res_round_trip(rng):
+    """Quarter-res conf: device 2x2 mean, host 2x nearest upsample."""
+    conf = rng.integers(0, 256, (1, 8, 16)).astype(np.uint8)
+    c4 = conf.reshape(1, 4, 2, 8, 2).astype(np.uint16)
+    confq = (c4.sum(axis=(2, 4)) // 4).astype(np.uint8)
+    up = confq.repeat(2, axis=1).repeat(2, axis=2)
+    assert up.shape == conf.shape
+    # each 2x2 block's upsampled value is its own mean
+    blocks = conf.reshape(1, 4, 2, 8, 2).astype(int).mean(axis=(2, 4))
+    err = np.abs(up.reshape(1, 4, 2, 8, 2)[:, :, 0, :, 0].astype(float)
+                 - blocks)
+    assert err.max() <= 1.0
