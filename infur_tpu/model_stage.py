@@ -203,7 +203,23 @@ def _families() -> dict[str, _Family]:
             lambda k, v: init_segformer(k, variant=v or "b0"),
             segformer_apply, variants=frozenset({"b0", "b1", "b2"}),
             outputs=staticmethod(lambda p: ("out",))),
+        "segformer_moe": _Family(
+            "segformer_moe",
+            lambda k, v: _init_segformer_moe_lazy(k, v),
+            _segformer_moe_apply_lazy,
+            variants=frozenset({"b0", "b1", "b2"}),
+            outputs=staticmethod(lambda p: ("out",))),
     }
+
+
+def _init_segformer_moe_lazy(k, v):
+    from infur_tpu.models.segformer_moe import init_segformer_moe
+    return init_segformer_moe(k, variant=v or "b0")
+
+
+def _segformer_moe_apply_lazy(params, x, compute_dtype="float32"):
+    from infur_tpu.models.segformer_moe import segformer_moe_apply
+    return segformer_moe_apply(params, x, compute_dtype=compute_dtype)
 
 
 def _open_backend(spec: str):

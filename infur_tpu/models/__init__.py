@@ -20,3 +20,6 @@ from infur_tpu.models.fcn_resnet50 import (  # noqa: F401
 )
 from infur_tpu.models.segformer import init_segformer, segformer_apply  # noqa: F401
 from infur_tpu.models.deeplabv3 import deeplabv3_apply, init_deeplabv3_resnet50  # noqa: F401
+from infur_tpu.models.segformer_moe import (  # noqa: F401
+    init_segformer_moe, segformer_moe_apply,
+)

@@ -205,9 +205,15 @@ def backbone_features(params: dict[str, Any], x_nhwc: jax.Array,
 
 def _fcn_forward(params: dict[str, Any], x_nhwc: jax.Array,
                  compute_dtype: str) -> dict[str, jax.Array]:
-    n, h, w, _ = x_nhwc.shape
     feats = backbone_features(params, x_nhwc, compute_dtype)
+    return _fcn_heads_from_feats(params, feats, x_nhwc.shape)
 
+
+def _fcn_heads_from_feats(params: dict[str, Any], feats: dict[str, jax.Array],
+                          in_shape: tuple[int, ...]) -> dict[str, jax.Array]:
+    """FCN head(s) on backbone features -> NCHW logits at input resolution.
+    Shared by the plain forward and the pipeline-parallel variant."""
+    _, h, w = in_shape[0], in_shape[1], in_shape[2]
     out = _head(feats["layer4"], params["head"])
     out = _upsample_bilinear(out, (h, w)).astype(jnp.float32)
     result = {"out": jnp.transpose(out, (0, 3, 1, 2))}

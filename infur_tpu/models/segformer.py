@@ -185,7 +185,13 @@ def _segformer_forward(params, x_nhwc, compute_dtype):
         x = _ln(x, st["out_ln"])
         feats.append(x)
 
-    # all-MLP decode head: project, upsample to 1/4 res, concat, fuse
+    return _segformer_head(params, feats, (n, h0, w0))
+
+
+def _segformer_head(params, feats, nhw):
+    """All-MLP decode head: project, upsample to 1/4 res, concat, fuse.
+    Shared with the MoE variant (models/segformer_moe.py)."""
+    n, h0, w0 = nhw
     head = params["head"]
     th, tw = feats[0].shape[1], feats[0].shape[2]
     ups = []
