@@ -209,7 +209,23 @@ def _families() -> dict[str, _Family]:
             _segformer_moe_apply_lazy,
             variants=frozenset({"b0", "b1", "b2"}),
             outputs=staticmethod(lambda p: ("out",))),
+        "lraspp": _Family(
+            "lraspp", lambda k, v: _init_lraspp_lazy(k),
+            _lraspp_apply_lazy,
+            outputs=staticmethod(lambda p: ("out",))),
     }
+
+
+def _init_lraspp_lazy(k):
+    from infur_tpu.models.lraspp_mobilenetv3 import (
+        init_lraspp_mobilenet_v3_large,
+    )
+    return init_lraspp_mobilenet_v3_large(k)
+
+
+def _lraspp_apply_lazy(params, x, compute_dtype="float32"):
+    from infur_tpu.models.lraspp_mobilenetv3 import lraspp_apply
+    return lraspp_apply(params, x, compute_dtype=compute_dtype)
 
 
 def _init_segformer_moe_lazy(k, v):

@@ -23,3 +23,6 @@ from infur_tpu.models.deeplabv3 import deeplabv3_apply, init_deeplabv3_resnet50 
 from infur_tpu.models.segformer_moe import (  # noqa: F401
     init_segformer_moe, segformer_moe_apply,
 )
+from infur_tpu.models.lraspp_mobilenetv3 import (  # noqa: F401
+    init_lraspp_mobilenet_v3_large, lraspp_apply,
+)

@@ -34,6 +34,8 @@ __all__ = [
     "fcn_resnet50_to_torch_state",
     "deeplabv3_resnet50_from_torch_state",
     "deeplabv3_resnet50_to_torch_state",
+    "lraspp_mobilenet_v3_from_torch_state",
+    "lraspp_mobilenet_v3_to_torch_state",
     "load_torch_checkpoint",
     "params_from_torch_checkpoint",
 ]
@@ -159,6 +161,63 @@ def deeplabv3_resnet50_from_torch_state(state: Mapping[str, Any]) -> dict[str, A
     return params
 
 
+def lraspp_mobilenet_v3_from_torch_state(state: Mapping[str, Any]
+                                         ) -> dict[str, Any]:
+    """torchvision ``lraspp_mobilenet_v3_large().state_dict()`` -> params.
+
+    Backbone keys are positional (IntermediateLayerGetter keeps the
+    ``features`` indices): ``backbone.0`` stem ConvBNActivation,
+    ``backbone.1..15`` InvertedResiduals (``block.{j}`` sub-Sequential:
+    optional expand CBA, depthwise CBA, optional SqueezeExcitation with
+    fc1/fc2, project CB), ``backbone.16`` the 1x1-to-960 CBA.  Head:
+    ``classifier.{cbr,scale,low_classifier,high_classifier}``.
+    """
+    from infur_tpu.models.lraspp_mobilenetv3 import _CONF
+
+    r = _Reader(state)
+    params: dict[str, Any] = {
+        "stem_conv": r.conv("backbone.0.0"),
+        "stem_bn": r.bn("backbone.0.1"),
+    }
+    blocks = []
+    for i, (cin, _k, exp, _cout, se, _act, _s, _d) in enumerate(_CONF):
+        pre = f"backbone.{i + 1}.block"
+        j = 0
+        blk: dict[str, Any] = {}
+        if exp != cin:
+            blk["exp_conv"] = r.conv(f"{pre}.{j}.0")
+            blk["exp_bn"] = r.bn(f"{pre}.{j}.1")
+            j += 1
+        blk["dw_conv"] = r.conv(f"{pre}.{j}.0")
+        blk["dw_bn"] = r.bn(f"{pre}.{j}.1")
+        j += 1
+        if se:
+            blk["se"] = {
+                "fc1": r.conv(f"{pre}.{j}.fc1"),
+                "fc1_b": r.tensor(f"{pre}.{j}.fc1.bias"),
+                "fc2": r.conv(f"{pre}.{j}.fc2"),
+                "fc2_b": r.tensor(f"{pre}.{j}.fc2.bias"),
+            }
+            j += 1
+        blk["proj_conv"] = r.conv(f"{pre}.{j}.0")
+        blk["proj_bn"] = r.bn(f"{pre}.{j}.1")
+        blocks.append(blk)
+    params["blocks"] = blocks
+    params["last_conv"] = r.conv("backbone.16.0")
+    params["last_bn"] = r.bn("backbone.16.1")
+    params["head"] = {
+        "cbr_conv": r.conv("classifier.cbr.0"),
+        "cbr_bn": r.bn("classifier.cbr.1"),
+        "scale_conv": r.conv("classifier.scale.1"),
+        "low_cls": r.conv("classifier.low_classifier"),
+        "low_cls_b": r.tensor("classifier.low_classifier.bias"),
+        "high_cls": r.conv("classifier.high_classifier"),
+        "high_cls_b": r.tensor("classifier.high_classifier.bias"),
+    }
+    r.finish("lraspp_mobilenet_v3_large")
+    return params
+
+
 # ---------------------------------------------------------------------------
 # Inverse direction (params pytree -> torch-style state dict)
 # ---------------------------------------------------------------------------
@@ -203,6 +262,45 @@ def fcn_resnet50_to_torch_state(params: Mapping[str, Any]) -> dict[str, np.ndarr
     return out
 
 
+def lraspp_mobilenet_v3_to_torch_state(params: Mapping[str, Any]
+                                       ) -> dict[str, np.ndarray]:
+    from infur_tpu.models.lraspp_mobilenetv3 import _CONF
+
+    out: dict[str, np.ndarray] = {}
+    _put_conv(out, "backbone.0.0", params["stem_conv"])
+    _put_bn(out, "backbone.0.1", params["stem_bn"])
+    for i, ((cin, _k, exp, _cout, se, _act, _s, _d), blk) in enumerate(
+            zip(_CONF, params["blocks"])):
+        pre = f"backbone.{i + 1}.block"
+        j = 0
+        if exp != cin:
+            _put_conv(out, f"{pre}.{j}.0", blk["exp_conv"])
+            _put_bn(out, f"{pre}.{j}.1", blk["exp_bn"])
+            j += 1
+        _put_conv(out, f"{pre}.{j}.0", blk["dw_conv"])
+        _put_bn(out, f"{pre}.{j}.1", blk["dw_bn"])
+        j += 1
+        if se:
+            _put_conv(out, f"{pre}.{j}.fc1", blk["se"]["fc1"])
+            out[f"{pre}.{j}.fc1.bias"] = np.asarray(blk["se"]["fc1_b"])
+            _put_conv(out, f"{pre}.{j}.fc2", blk["se"]["fc2"])
+            out[f"{pre}.{j}.fc2.bias"] = np.asarray(blk["se"]["fc2_b"])
+            j += 1
+        _put_conv(out, f"{pre}.{j}.0", blk["proj_conv"])
+        _put_bn(out, f"{pre}.{j}.1", blk["proj_bn"])
+    _put_conv(out, "backbone.16.0", params["last_conv"])
+    _put_bn(out, "backbone.16.1", params["last_bn"])
+    head = params["head"]
+    _put_conv(out, "classifier.cbr.0", head["cbr_conv"])
+    _put_bn(out, "classifier.cbr.1", head["cbr_bn"])
+    _put_conv(out, "classifier.scale.1", head["scale_conv"])
+    _put_conv(out, "classifier.low_classifier", head["low_cls"])
+    out["classifier.low_classifier.bias"] = np.asarray(head["low_cls_b"])
+    _put_conv(out, "classifier.high_classifier", head["high_cls"])
+    out["classifier.high_classifier.bias"] = np.asarray(head["high_cls_b"])
+    return out
+
+
 def deeplabv3_resnet50_to_torch_state(params: Mapping[str, Any]) -> dict[str, np.ndarray]:
     out: dict[str, np.ndarray] = {}
     _backbone_to(params, out)
@@ -233,6 +331,8 @@ _FROM_TORCH = {
     "fcn_resnet50": fcn_resnet50_from_torch_state,
     "deeplabv3": deeplabv3_resnet50_from_torch_state,
     "deeplabv3_resnet50": deeplabv3_resnet50_from_torch_state,
+    "lraspp": lraspp_mobilenet_v3_from_torch_state,
+    "lraspp_mobilenet_v3_large": lraspp_mobilenet_v3_from_torch_state,
 }
 
 
@@ -249,7 +349,8 @@ def load_torch_checkpoint(path: str) -> dict[str, np.ndarray]:
 
 
 def looks_like_torch_state(flat: Mapping[str, Any]) -> bool:
-    return "backbone.conv1.weight" in flat
+    return ("backbone.conv1.weight" in flat        # ResNet backbones
+            or "backbone.0.0.weight" in flat)      # MobileNetV3 backbone
 
 
 def params_from_torch_checkpoint(family: str, path: str) -> dict[str, Any]:

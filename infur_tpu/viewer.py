@@ -101,6 +101,8 @@ class ViewerState:
         self.jpeg_seq = 0                  # seq the jpeg was encoded at
         self.frame_arr = None              # latest frame, RGBA numpy
         self.stream_clients = 0            # open /stream connections
+        self.max_stream_clients = 8        # cap: stuck clients can't pin
+        #                                    every HTTP server thread
         self._notices: dict[str, str] = {}  # StageStatus text we set
         self.counter = FrameCounter()
         self.stages: dict[str, str] = {}
@@ -295,7 +297,16 @@ def make_handler(state: ViewerState):
         def _stream(self):
             """MJPEG push: one part per processed frame, no client polling.
             Runs on this request's thread until the client disconnects or
-            the viewer exits."""
+            the viewer exits.  Concurrent streams are capped so stuck
+            clients can't pin every ThreadingHTTPServer thread."""
+            with state.lock:
+                if state.stream_clients >= state.max_stream_clients:
+                    pass_503 = True
+                else:
+                    pass_503 = False
+            if pass_503:
+                self._send(503, b"too many stream clients", "text/plain")
+                return
             self.send_response(200)
             self.send_header("Content-Type",
                              "multipart/x-mixed-replace; boundary=infurframe")
