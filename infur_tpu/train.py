@@ -45,15 +45,30 @@ def segmentation_ce(apply_fn: ApplyFn, params: Any, x_nhwc: jax.Array,
     return loss
 
 
+def moe_segmentation_loss(params: Any, x_nhwc: jax.Array,
+                          labels_nhw: jax.Array,
+                          moe_aux_weight: float = 0.01) -> jax.Array:
+    """SegFormer-MoE training loss: pixel CE + the Switch load-balancing
+    auxiliary term (without it the router collapses onto one expert).
+    Pass as ``loss_fn`` to :func:`make_train_step` / :func:`finetune`."""
+    from infur_tpu.models.segformer_moe import segformer_moe_forward
+    logits, aux = segformer_moe_forward(params, x_nhwc)
+    ce = segmentation_ce(lambda p, x: logits, params, x_nhwc, labels_nhw)
+    return ce + moe_aux_weight * aux
+
+
 def make_train_step(apply_fn: ApplyFn, tx: optax.GradientTransformation,
-                    aux_weight: float = 0.4):
-    """A jitted (params, opt_state, x, y) -> (params, opt_state, loss)."""
+                    aux_weight: float = 0.4, loss_fn=None):
+    """A jitted (params, opt_state, x, y) -> (params, opt_state, loss).
+    ``loss_fn(params, x, y)`` overrides the default segmentation CE (e.g.
+    :func:`moe_segmentation_loss` for routed families)."""
 
     @jax.jit
     def step(params, opt_state, x_nhwc, labels_nhw):
         loss, grads = jax.value_and_grad(
-            lambda p: segmentation_ce(apply_fn, p, x_nhwc, labels_nhw,
-                                      aux_weight))(params)
+            (lambda p: loss_fn(p, x_nhwc, labels_nhw)) if loss_fn is not None
+            else lambda p: segmentation_ce(apply_fn, p, x_nhwc, labels_nhw,
+                                           aux_weight))(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -67,12 +82,12 @@ def finetune(apply_fn: ApplyFn, params: Any,
              weight_decay: float = 1e-4,
              checkpoint_path: str | None = None,
              checkpoint_every: int = 100,
-             log_every: int = 10) -> tuple[Any, list[float]]:
+             log_every: int = 10, loss_fn=None) -> tuple[Any, list[float]]:
     """Run ``steps`` optimizer steps over ``data`` (an iterable of
     (x_nhwc f32, labels_nhw i32) batches); returns (params, loss history)."""
     tx = optax.adamw(learning_rate, weight_decay=weight_decay)
     opt_state = tx.init(params)
-    step = make_train_step(apply_fn, tx)
+    step = make_train_step(apply_fn, tx, loss_fn=loss_fn)
     losses: list[float] = []
     it = iter(data)
     t0 = time.perf_counter()

@@ -148,3 +148,40 @@ def test_fold_keeps_bn_when_conv_output_is_graph_output(rng):
     a, b = run_model(model, feeds), run_model(folded, feeds)
     for k in a:
         np.testing.assert_allclose(a[k], b[k], rtol=1e-5)
+
+
+def test_grouped_depthwise_conv_quantizes_exactly(rng):
+    """Depthwise (grouped) convs — the MobileNetV3/LRASPP motif — survive
+    quantization: the group attr rides through to QLinearConv and both
+    executors agree bit-exactly on the integer path."""
+    g = GraphBuilder("dw")
+    x = g.input("x", np.float32, (1, 8, 16, 16))
+    w1 = g.init("w1", rng.normal(size=(8, 1, 3, 3)).astype(np.float32) * 0.4)
+    y = g.node("Conv", [x, w1], pads=[1, 1, 1, 1], group=8)  # depthwise
+    y = g.node("Relu", [y])
+    w2 = g.init("w2", rng.normal(size=(12, 8, 1, 1)).astype(np.float32) * 0.3)
+    y = g.node("Conv", [y, w2])  # pointwise
+    y = g.node("Relu", [y])
+    g.output(y, np.float32, (1, 12, 16, 16))
+    model = g.model()
+
+    feeds = [{"x": rng.normal(size=(1, 8, 16, 16)).astype(np.float32)}
+             for _ in range(4)]
+    qmodel = quantize_static(model, feeds)
+    qops = [n.op_type for n in qmodel.graph.node]
+    assert qops.count("QLinearConv") == 2, qops
+    dw = [n for n in qmodel.graph.node if n.op_type == "QLinearConv"][0]
+    assert dict(dw.attrs()).get("group") == 8
+
+    feed = feeds[0]
+    oracle = run_model(qmodel, feed)
+    imported = import_model(qmodel)(feed)
+    for k in oracle:
+        np.testing.assert_array_equal(
+            oracle[k], np.asarray(imported[k]),
+            err_msg="int8 grouped conv: oracle vs importer")
+    # int8 tracks f32
+    f32 = run_model(model, feed)
+    for k in f32:
+        scale = max(np.abs(f32[k]).max(), 1e-6)
+        assert np.abs(oracle[k] - f32[k]).max() / scale < 0.15
