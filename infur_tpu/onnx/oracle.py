@@ -92,6 +92,14 @@ def conv2d_reference(x: np.ndarray, w: np.ndarray, b: np.ndarray | None,
         view = view.astype(acc_dtype)
         w = w.astype(acc_dtype)
     out = np.empty((n, m, ho, wo), dtype=(acc_dtype or np.result_type(x, w)))
+    if groups == c and cg == 1 and mg == 1:
+        # depthwise fast path: one einsum over all channels instead of a
+        # Python loop per group (MobileNetV3 has 960-group convs) — same
+        # contraction, contracted per-channel
+        out[:] = np.einsum("nchwij,cij->nchw", view, w[:, 0], optimize=True)
+        if b is not None:
+            out = out + b.reshape(1, -1, 1, 1).astype(out.dtype)
+        return out
     for g in range(groups):
         vg = view[:, g * cg:(g + 1) * cg]          # (N,cg,Ho,Wo,kH,kW)
         wg = w[g * mg:(g + 1) * mg]                # (mg,cg,kH,kW)
