@@ -154,6 +154,147 @@ def _mixffn(x_nhwc, blk):
     return y @ blk["fc2"].astype(y.dtype) + blk["fc2_b"].astype(y.dtype)
 
 
+# ---------------------------------------------------------------------------
+# ONNX export (static input shape — the transformer fixture for the
+# importer: LayerNormalization, batched-MatMul attention, Softmax, Gelu,
+# token<->image Reshape/Transpose plumbing)
+# ---------------------------------------------------------------------------
+
+def segformer_to_onnx(params: dict[str, Any], input_hw: tuple[int, int],
+                      variant: str = "b0", opset: int = 20):
+    """Emit a static-shape ONNX graph (NCHW f32 'input' -> 'out') from
+    native params.  Opset 20 for Gelu(approximate='tanh') — matching
+    jax.nn.gelu's default.  cf. fcn_resnet50_to_onnx for the exporter
+    conventions; static dims keep the attention Reshapes constant."""
+    from infur_tpu.models.fcn_resnet50 import _onnx_conv_weight
+    from infur_tpu.onnx.export import GraphBuilder
+
+    h0, w0 = input_hw
+    cfg = CONFIGS[variant]
+    dims, dec = cfg["dims"], cfg["dec_dim"]
+    g = GraphBuilder(f"segformer_{variant}")
+    x = g.input("input", np.float32, (1, 3, h0, w0))
+
+    def conv(x, w_hwio, stride=1, pad=0, groups=1, bias=None):
+        ins = [x, g.init(g.fresh("w"), _onnx_conv_weight(np.asarray(w_hwio)))]
+        if bias is not None:
+            ins.append(g.init(g.fresh("b"), np.asarray(bias, np.float32)))
+        return g.node("Conv", ins, strides=[stride, stride],
+                      pads=[pad, pad, pad, pad], group=groups)
+
+    def ln(t, p):
+        return g.node("LayerNormalization", [
+            t, g.init(g.fresh("ln_s"), np.asarray(p["scale"], np.float32)),
+            g.init(g.fresh("ln_b"), np.asarray(p["bias"], np.float32))],
+            epsilon=1e-6)
+
+    def matmul_bias(t, w, b):
+        y = g.node("MatMul", [t, g.init(g.fresh("mw"),
+                                        np.asarray(w, np.float32))])
+        return g.node("Add", [y, g.init(g.fresh("mb"),
+                                        np.asarray(b, np.float32))])
+
+    def reshape(t, shape):
+        return g.node("Reshape", [t, g.const(np.asarray(shape, np.int64))])
+
+    def tokens_of(img, c, hh, ww):
+        return g.node("Transpose", [reshape(img, (1, c, hh * ww))],
+                      perm=[0, 2, 1])
+
+    def image_of(tok, c, hh, ww):
+        return reshape(g.node("Transpose", [tok], perm=[0, 2, 1]),
+                       (1, c, hh, ww))
+
+    hh, ww = h0, w0
+    feat_imgs = []
+    feat_hw = []
+    y = x
+    for s in range(4):
+        st = params[f"stage{s + 1}"]
+        k, stride = PATCH[s]
+        d = dims[s]
+        y = conv(y, st["patch_conv"], stride=stride, pad=(k - 1) // 2,
+                 bias=st["patch_bias"])
+        hh, ww = -(-hh // stride), -(-ww // stride)  # ceil: SAME-padded
+        t = ln(tokens_of(y, d, hh, ww), st["patch_ln"])
+        heads, sr = HEADS[s], SR[s]
+        dh = d // heads
+        L = hh * ww
+        for blk in st["blocks"]:
+            # --- efficient self-attention ---
+            tin = ln(t, blk["ln1"])
+            q = matmul_bias(tin, blk["q"], blk["q_b"])
+            kv_src = tin
+            l2 = L
+            if sr > 1:
+                img = image_of(tin, d, hh, ww)
+                img = conv(img, blk["sr_conv"], stride=sr, bias=blk["sr_bias"])
+                l2 = (hh // sr) * (ww // sr)
+                kv_src = ln(tokens_of(img, d, hh // sr, ww // sr),
+                            blk["sr_ln"])
+            kv = matmul_bias(kv_src, blk["kv"], blk["kv_b"])
+            kt, vt = g.node("Split", [kv], axis=-1, num_outputs=2,
+                            outputs=[g.fresh("k"), g.fresh("v")])
+            qh = g.node("Transpose", [reshape(q, (1, L, heads, dh))],
+                        perm=[0, 2, 1, 3])
+            kh = g.node("Transpose", [reshape(kt, (1, l2, heads, dh))],
+                        perm=[0, 2, 3, 1])  # pre-transposed for q @ k^T
+            vh = g.node("Transpose", [reshape(vt, (1, l2, heads, dh))],
+                        perm=[0, 2, 1, 3])
+            scores = g.node("Mul", [g.node("MatMul", [qh, kh]),
+                                    g.const(np.float32(1.0 / np.sqrt(dh)))])
+            att = g.node("Softmax", [scores], axis=-1)
+            o = g.node("MatMul", [att, vh])
+            o = reshape(g.node("Transpose", [o], perm=[0, 2, 1, 3]),
+                        (1, L, d))
+            o = matmul_bias(o, blk["proj"], blk["proj_b"])
+            t = g.node("Add", [t, o])
+            # --- Mix-FFN ---
+            f = matmul_bias(ln(t, blk["ln2"]), blk["fc1"], blk["fc1_b"])
+            img = image_of(f, 4 * d, hh, ww)
+            img = conv(img, blk["dw"], pad=1, groups=4 * d, bias=blk["dw_b"])
+            f = g.node("Gelu", [tokens_of(img, 4 * d, hh, ww)],
+                       approximate="tanh")
+            f = matmul_bias(f, blk["fc2"], blk["fc2_b"])
+            t = g.node("Add", [t, f])
+        t = ln(t, st["out_ln"])
+        y = image_of(t, d, hh, ww)
+        feat_imgs.append(t)
+        feat_hw.append((hh, ww))
+
+    # all-MLP decode head (token-space projections, image-space resizes)
+    head = params["head"]
+    th, tw = feat_hw[0]
+    ups = []
+    for s, t in enumerate(feat_imgs):
+        p = matmul_bias(t, head["lin"][s], head["lin_b"][s])
+        img = image_of(p, dec, *feat_hw[s])
+        if feat_hw[s] != (th, tw):
+            img = g.node("Resize", [img, "", "",
+                                    g.const(np.asarray((1, dec, th, tw),
+                                                       np.int64))],
+                         mode="linear",
+                         coordinate_transformation_mode="half_pixel")
+        ups.append(img)
+    y = g.node("Concat", ups[::-1], axis=1)
+    y = conv(y, head["fuse"])
+    bn = head["fuse_bn"]
+    y = g.node("BatchNormalization", [
+        y, g.init("fbn_s", np.asarray(bn["scale"], np.float32)),
+        g.init("fbn_b", np.asarray(bn["bias"], np.float32)),
+        g.init("fbn_m", np.asarray(bn["mean"], np.float32)),
+        g.init("fbn_v", np.asarray(bn["var"], np.float32))], epsilon=1e-5)
+    y = g.node("Relu", [y])
+    y = conv(y, head["cls"], bias=head["cls_b"])
+    k = np.asarray(head["cls"]).shape[-1]
+    y = g.node("Resize", [y, "", "", g.const(np.asarray((1, k, h0, w0),
+                                                        np.int64))],
+               mode="linear", coordinate_transformation_mode="half_pixel")
+    g.output(g.node("Identity", [y], outputs=["out"]), np.float32,
+             (1, k, h0, w0))
+    return g.model(opset=opset)
+
+
 @partial(jax.jit, static_argnames=("compute_dtype",))
 def segformer_apply(params: dict[str, Any], x_nhwc: jax.Array,
                     compute_dtype: str = "float32") -> dict[str, jax.Array]:

@@ -61,3 +61,24 @@ def test_unknown_variant_opt_is_typed_error():
     from infur_tpu.model_stage import Load, ModelStage
     with pytest.raises(ModelLoadError, match="unknown option"):
         ModelStage().control(Load("segformer:b3"))  # typo'd variant
+
+
+def test_onnx_export_three_way_parity():
+    """Native apply == NumPy oracle == JAX importer on the exported
+    static-shape transformer graph (LayerNormalization, batched-MatMul
+    attention, Softmax, Gelu-tanh, token<->image plumbing)."""
+    import numpy as np
+    from infur_tpu.models.segformer import segformer_to_onnx
+    from infur_tpu.onnx import import_model, run_model
+
+    p = init_segformer(jax.random.PRNGKey(2), variant="b0")
+    model = segformer_to_onnx(p, (64, 64))
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32) * 0.5
+    nchw = np.ascontiguousarray(np.transpose(x, (0, 3, 1, 2)))
+    want = np.asarray(segformer_apply(p, x)["out"])
+    scale = max(np.abs(want).max(), 1e-6)
+    oracle = run_model(model, {"input": nchw})["out"]
+    assert np.abs(oracle - want).max() / scale < 1e-4
+    got = np.asarray(import_model(model)({"input": nchw})["out"])
+    assert np.abs(got - want).max() / scale < 1e-4
