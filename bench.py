@@ -161,15 +161,27 @@ def main() -> int:
         return mask, conf
 
     # class ids are < 21; pre-wrap the palette so the hot loop skips the %
-    palette21 = palette[np.arange(NUM_CLASSES_PAD) % len(palette)]
+    palette21 = palette[np.arange(NUM_CLASSES_PAD) % len(palette)].astype(np.uint8)
+
+    try:  # native threaded GIL-free blend (csrc/hostops.cpp), exact match
+        from infur_tpu.hostops import blend_overlay, have_hostops
+        native_blend = have_hostops()
+    except Exception:
+        native_blend = False
 
     def composite(small_yuv: np.ndarray, outs) -> np.ndarray:
         """Host overlay blend over the Y plane's gray (display-path
         stand-in for sinks that want host pixels; the interactive app
-        composites on device via the Pallas kernel).  int32 math, minimal
-        temporaries."""
-        mask, conf = unpack(outs)
+        composites on device via the Pallas kernel)."""
         yplane = small_yuv[:, : oh * ow].reshape(-1, oh, ow)
+        if native_blend:
+            if PACK == "confq":  # native indexes quarter-res conf directly
+                return blend_overlay(np.asarray(outs[0]), np.asarray(outs[1]),
+                                     yplane, palette21)
+            mask, conf = unpack(outs)
+            return blend_overlay(mask, conf, yplane, palette21)
+        # NumPy fallback: int32 math, minimal temporaries
+        mask, conf = unpack(outs)
         rgb = palette21[mask].astype(np.int32)
         a = conf.astype(np.int32)[..., None]
         base = yplane[..., None].astype(np.int32)  # broadcast gray

@@ -1,0 +1,92 @@
+"""ctypes binding for native host pixel ops (csrc/hostops.cpp).
+
+:func:`blend_overlay` is the palette-over-luma composite used by host-side
+sinks (bench.py, PNG/file outputs).  Exact same integer floor semantics as
+the NumPy fallback, but multithreaded and GIL-free (the reference's analog
+host pixel map is native Rust, infur/src/app.rs:132-144).
+
+Built on demand with ``make -C csrc`` like the ffpipe decoder; callers use
+:func:`have_hostops` + the NumPy fallback when no toolchain exists.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "csrc")
+_SO = os.path.join(_CSRC, "build", "libhostops.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _build() -> bool:
+    try:
+        r = subprocess.run(["make", "-C", _CSRC, "-s"], capture_output=True,
+                           timeout=120)
+        return r.returncode == 0 and os.path.exists(_SO)
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+
+
+def _load():
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_SO) and not _build():
+            return None
+        lib = ctypes.CDLL(_SO)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.hop_blend.argtypes = [u8p, u8p, u8p, u8p, ctypes.c_int, u8p,
+                                  ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                  ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.hop_blend.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def have_hostops() -> bool:
+    return _load() is not None
+
+
+def _u8p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def blend_overlay(mask: np.ndarray, conf: np.ndarray, base: np.ndarray,
+                  palette: np.ndarray, out: np.ndarray | None = None,
+                  threads: int = 0) -> np.ndarray:
+    """``out[f,y,x,:] = base + floor((palette[mask % P] - base) * conf / 255)``.
+
+    mask/base: (F, H, W) u8; conf: (F, CH, CW) u8 where H % CH == 0 (pass
+    quarter-res confidence directly — no host-side repeat needed);
+    palette: (P, 3) u8; out: optional (F, H, W, 3) u8 buffer to reuse.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("hostops native library unavailable")
+    mask = np.ascontiguousarray(mask, np.uint8)
+    conf = np.ascontiguousarray(conf, np.uint8)
+    base = np.ascontiguousarray(base, np.uint8)
+    palette = np.ascontiguousarray(palette, np.uint8)
+    f, h, w = mask.shape
+    if base.shape != mask.shape:
+        raise ValueError(f"base shape {base.shape} != mask shape {mask.shape}")
+    cf, ch, cw = conf.shape
+    if cf != f or h % ch or w % cw:
+        raise ValueError(f"conf shape {conf.shape} incompatible with {mask.shape}")
+    if out is None or out.shape != (f, h, w, 3) or out.dtype != np.uint8 \
+            or not out.flags.c_contiguous:
+        out = np.empty((f, h, w, 3), np.uint8)
+    rc = lib.hop_blend(_u8p(mask), _u8p(conf), _u8p(base), _u8p(palette),
+                       palette.shape[0], _u8p(out), f, h, w, ch, cw, threads)
+    if rc != 0:
+        raise ValueError(f"hop_blend rejected arguments (rc={rc})")
+    return out

@@ -1,0 +1,85 @@
+"""Native host pixel ops (csrc/hostops.cpp via ctypes): exactness vs the
+NumPy int-floor reference, quarter-res confidence indexing, buffer reuse,
+argument validation."""
+
+import numpy as np
+import pytest
+
+from infur_tpu.hostops import blend_overlay, have_hostops
+
+pytestmark = pytest.mark.skipif(not have_hostops(),
+                                reason="no C++ toolchain for hostops")
+
+
+def _ref(palette, mask, conf_full, base):
+    rgb = palette[mask % len(palette)].astype(np.int32)
+    a = conf_full.astype(np.int32)[..., None]
+    b = base[..., None].astype(np.int32)
+    rgb -= b
+    rgb *= a
+    rgb = np.floor_divide(rgb, 255)
+    rgb += b
+    return rgb.astype(np.uint8)
+
+
+@pytest.fixture(scope="module")
+def data(rng):
+    f, h, w = 3, 32, 48
+    return {
+        "palette": rng.integers(0, 256, (21, 3)).astype(np.uint8),
+        "mask": rng.integers(0, 21, (f, h, w)).astype(np.uint8),
+        "conf": rng.integers(0, 256, (f, h, w)).astype(np.uint8),
+        "confq": rng.integers(0, 256, (f, h // 2, w // 2)).astype(np.uint8),
+        "base": rng.integers(0, 256, (f, h, w)).astype(np.uint8),
+    }
+
+
+def test_full_res_exact(data):
+    got = blend_overlay(data["mask"], data["conf"], data["base"],
+                        data["palette"])
+    ref = _ref(data["palette"], data["mask"], data["conf"], data["base"])
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_quarter_res_conf_indexing(data):
+    """Quarter-res confidence is indexed natively — no host repeat()."""
+    got = blend_overlay(data["mask"], data["confq"], data["base"],
+                        data["palette"])
+    full = data["confq"].repeat(2, axis=1).repeat(2, axis=2)
+    ref = _ref(data["palette"], data["mask"], full, data["base"])
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_floor_semantics_on_negative_terms():
+    """(rgb - base) can be negative; floor division must match numpy //."""
+    palette = np.zeros((1, 3), np.uint8)  # rgb = 0 -> rgb - base <= 0
+    mask = np.zeros((1, 2, 2), np.uint8)
+    conf = np.full((1, 2, 2), 128, np.uint8)
+    base = np.full((1, 2, 2), 255, np.uint8)
+    got = blend_overlay(mask, conf, base, palette)
+    ref = _ref(palette, mask, conf, base)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_output_buffer_reuse(data):
+    out = np.empty(data["mask"].shape + (3,), np.uint8)
+    got = blend_overlay(data["mask"], data["conf"], data["base"],
+                        data["palette"], out=out)
+    assert got is out
+
+
+def test_single_thread_matches(data):
+    a = blend_overlay(data["mask"], data["conf"], data["base"],
+                      data["palette"], threads=1)
+    b = blend_overlay(data["mask"], data["conf"], data["base"],
+                      data["palette"], threads=8)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_bad_shapes_rejected(data):
+    with pytest.raises(ValueError):
+        blend_overlay(data["mask"], data["conf"][:, :5, :], data["base"],
+                      data["palette"])  # 32 % 5 != 0
+    with pytest.raises(ValueError):
+        blend_overlay(data["mask"], data["conf"], data["base"][:1],
+                      data["palette"])
