@@ -824,6 +824,82 @@ def _jqlinear_gap(attrs, x, x_scale, x_zp, y_scale, y_zp):
     return jnp.clip(q, lo, hi).astype(zp_dtype)
 
 
+@jop("QLinearMul")
+def _jqlinear_mul(attrs, a, a_scale, a_zp, b, b_scale, b_zp, y_scale, y_zp):
+    zp_dtype = np.asarray(y_zp).dtype
+    if _host_const(a_scale, a_zp, b_scale, b_zp, y_scale, y_zp) and \
+            all(np.size(v) <= 1 for v in (a_scale, b_scale, y_scale)):
+        # integer twin of oracle._qlinear_mul: i32 product (bounded by
+        # 255^2) + one fixed-point requant with multiplier s_a*s_b/s_y
+        acc = ((a.astype(jnp.int32) - jnp.asarray(a_zp, jnp.int32))
+               * (b.astype(jnp.int32) - jnp.asarray(b_zp, jnp.int32)))
+        m = (np.float32(a_scale) * np.float32(b_scale)
+             / np.float32(y_scale))
+        out = _jrequant_int(acc, m, y_zp)
+        if out is not None:
+            return out
+    af = (a.astype(jnp.float32) - jnp.asarray(a_zp, jnp.float32)) \
+        * jnp.asarray(a_scale, jnp.float32)
+    bf = (b.astype(jnp.float32) - jnp.asarray(b_zp, jnp.float32)) \
+        * jnp.asarray(b_scale, jnp.float32)
+    if _host_const(y_scale):
+        s = jnp.asarray(np.float32(1.0) / np.asarray(y_scale, np.float32))
+        q = jnp.round(af * bf * s) + jnp.asarray(y_zp, jnp.int32)
+    else:
+        q = jnp.round(af * bf / jnp.asarray(y_scale, jnp.float32)) \
+            + jnp.asarray(y_zp, jnp.int32)
+    lo, hi = _jqminmax(zp_dtype)
+    return jnp.clip(q, lo, hi).astype(zp_dtype)
+
+
+@jop("QLookupTable")
+def _jqlookup_table(attrs, x, table):
+    # 256-entry u8 gather baked by the quantizer (see oracle twin) — the
+    # whole activation is one take(); bit-exact across backends
+    if not _host_const(table):
+        raise ModelLoadError("QLookupTable table must be a graph initializer")
+    return jnp.take(jnp.asarray(np.asarray(table, np.uint8)),
+                    x.astype(jnp.int32))
+
+
+@jop("QLinearResize")
+def _jqlinear_resize(attrs, x, roi=None, scales=None, sizes=None):
+    mode = _dec(attrs.get("mode", "linear"), "linear")
+    ct = _dec(attrs.get("coordinate_transformation_mode", "half_pixel"),
+              "half_pixel")
+    if mode != "linear":
+        raise ModelLoadError(
+            f"QLinearResize supports linear mode, got {mode!r}")
+    from infur_tpu.onnx.qresize import W_BITS, W_HALF, W_ONE, linear_axis_plan
+    in_shape = np.asarray(x.shape, np.float64)
+    if sizes is not None and np.asarray(sizes).size:
+        out_shape = np.asarray(_const_ints(sizes, "QLinearResize sizes"),
+                               np.int64)
+        scale_arr = out_shape / in_shape
+    else:
+        if isinstance(scales, jnp.ndarray):
+            raise ModelLoadError(
+                "QLinearResize scales must be a compile-time constant")
+        scale_arr = np.asarray(scales, np.float64).ravel()
+        out_shape = np.floor(in_shape * scale_arr).astype(np.int64)
+    out = x
+    for axis in range(x.ndim):
+        if out_shape[axis] == out.shape[axis] and scale_arr[axis] == 1.0:
+            continue
+        lo, hi, w_hi = linear_axis_plan(int(out_shape[axis]),
+                                        out.shape[axis], scale_arr[axis], ct)
+        a = jnp.take(out, jnp.asarray(lo.astype(np.int32)), axis=axis) \
+            .astype(jnp.int32)
+        b = jnp.take(out, jnp.asarray(hi.astype(np.int32)), axis=axis) \
+            .astype(jnp.int32)
+        shape = [1] * x.ndim
+        shape[axis] = -1
+        w = jnp.asarray(w_hi.astype(np.int32).reshape(shape))
+        acc = a * (W_ONE - w) + b * w
+        out = ((acc + W_HALF) >> W_BITS).astype(x.dtype)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Graph import
 # ---------------------------------------------------------------------------
@@ -840,7 +916,9 @@ _QCONST_ARGS = {
     "QLinearConv": (1, 2, 4, 5, 6, 7, 8),
     "QLinearMatMul": (1, 2, 4, 5, 6, 7),
     "QLinearAdd": (1, 2, 4, 5, 6, 7),
+    "QLinearMul": (1, 2, 4, 5, 6, 7),
     "QLinearGlobalAveragePool": (1, 2, 3, 4),
+    "QLookupTable": (1,),
 }
 
 

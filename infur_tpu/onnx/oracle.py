@@ -886,6 +886,64 @@ def _qlinear_add_int(a, a_scale, a_zp, b, b_scale, b_zp, y_scale, y_zp):
     lo, hi = _qminmax(np.asarray(y_zp).dtype)
     return np.clip(y, lo, hi).astype(np.asarray(y_zp).dtype)
 
+@op("QLinearMul")  # com.microsoft domain (SE gating and friends)
+def _qlinear_mul(attrs, a, a_scale, a_zp, b, b_scale, b_zp, y_scale, y_zp):
+    # integer product then one fixed-point requant: (a-az)*(b-bz) is
+    # bounded by 255^2, the i32 accumulator is exact; multiplier
+    # = s_a*s_b/s_y.  Same platform-exactness rationale as QLinearAdd.
+    acc = ((a.astype(np.int64) - np.int64(a_zp))
+           * (b.astype(np.int64) - np.int64(b_zp)))
+    if all(np.size(v) <= 1 for v in (a_scale, b_scale, y_scale)):
+        multiplier = (np.float32(a_scale) * np.float32(b_scale)
+                      / np.float32(y_scale))
+        out = _requant_int(acc, multiplier, y_zp)
+        if out is not None:
+            return out
+    af = (a.astype(np.float32) - np.float32(a_zp)) * np.float32(a_scale)
+    bf = (b.astype(np.float32) - np.float32(b_zp)) * np.float32(b_scale)
+    q = np.rint(af * bf * (np.float32(1.0) / np.float32(y_scale))) \
+        + np.int64(y_zp)
+    lo, hi = _qminmax(np.asarray(y_zp).dtype)
+    return np.clip(q, lo, hi).astype(np.asarray(y_zp).dtype)
+
+
+@op("QLookupTable")  # infur domain: unary activation as a baked u8 table
+def _qlookup_table(attrs, x, table):
+    # The quantizer bakes table[i] = quantize(act(dequantize(i))) on the
+    # host (float64), so both executors reduce the activation to the same
+    # 256-entry gather — bit-exact by construction, and the fastest
+    # possible form on either backend.
+    return np.asarray(table, np.uint8)[x]
+
+
+@op("QLinearResize")  # infur domain: integer linear Resize (see qresize.py)
+def _qlinear_resize(attrs, x, roi=None, scales=None, sizes=None):
+    mode = attrs.get("mode", "linear")
+    if isinstance(mode, bytes):
+        mode = mode.decode()
+    ct = attrs.get("coordinate_transformation_mode", "half_pixel")
+    if isinstance(ct, bytes):
+        ct = ct.decode()
+    if mode != "linear":
+        raise ValueError(f"QLinearResize supports linear mode, got {mode!r}")
+    from infur_tpu.onnx.qresize import linear_axis_plan, qresize_axis_ref
+    in_shape = np.asarray(x.shape, np.float64)
+    if sizes is not None and np.asarray(sizes).size:
+        out_shape = np.asarray(sizes, np.int64).ravel()
+        scale_arr = out_shape / in_shape
+    else:
+        scale_arr = np.asarray(scales, np.float64).ravel()
+        out_shape = np.floor(in_shape * scale_arr).astype(np.int64)
+    out = x
+    for axis in range(x.ndim):
+        if out_shape[axis] == out.shape[axis] and scale_arr[axis] == 1.0:
+            continue
+        lo, hi, w_hi = linear_axis_plan(int(out_shape[axis]),
+                                        out.shape[axis], scale_arr[axis], ct)
+        out = qresize_axis_ref(out, axis, lo, hi, w_hi)
+    return out
+
+
 @op("QLinearGlobalAveragePool")  # com.microsoft domain
 def _qlinear_gap(attrs, x, x_scale, x_zp, y_scale, y_zp):
     # Integer spatial sum (order-independent, so platform-exact — an f32

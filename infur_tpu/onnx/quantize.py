@@ -32,6 +32,30 @@ from infur_tpu.onnx.proto import (
 # ops that run in the integer domain
 _Q_PASSTHROUGH = {"MaxPool"}  # same scale/zp in as out
 
+# unary activations rewritten to a baked 256-entry u8 lookup table
+# (QLookupTable, infur domain): both executors reduce them to the same
+# gather, so the op is platform-exact — an f32 activation island between
+# quantized ops is not (ulp differences flip ints at the requant boundary)
+_LUT_OPS = {"Sigmoid", "HardSigmoid", "HardSwish", "Tanh", "LeakyRelu"}
+
+
+def _unary_f64(op: str, attrs: dict, f: np.ndarray) -> np.ndarray:
+    """Float64 host evaluation of a LUT-able activation."""
+    if op == "Sigmoid":
+        return 1.0 / (1.0 + np.exp(-f))
+    if op == "Tanh":
+        return np.tanh(f)
+    if op == "HardSigmoid":
+        a = float(attrs.get("alpha", 0.2))
+        b = float(attrs.get("beta", 0.5))
+        return np.clip(a * f + b, 0.0, 1.0)
+    if op == "HardSwish":
+        return f * np.clip(f / 6.0 + 0.5, 0.0, 1.0)
+    if op == "LeakyRelu":
+        a = float(attrs.get("alpha", 0.01))
+        return np.where(f >= 0, f, a * f)
+    raise ValueError(f"not a LUT-able op: {op}")
+
 
 @dataclass
 class QParam:
@@ -221,6 +245,70 @@ def quantize_static(model: ModelProto,
             nodes.append(make_node(op, [xq], [qy], name=fresh("qpool"),
                                    **node.attrs()))
             qmap[node.output[0]] = (qy, xp)  # same scale/zp
+            continue
+
+        if op in _LUT_OPS and (node.input[0] in qmap
+                               or node.input[0] in ranges) \
+                and node.output[0] in ranges:
+            xq, xp = ensure_q(node.input[0])
+            yp = _qparam(*ranges[node.output[0]])
+            f = (np.arange(256, dtype=np.float64) - xp.zero_point) * xp.scale
+            y = _unary_f64(op, node.attrs(), f)
+            table = np.clip(np.rint(y / yp.scale) + yp.zero_point,
+                            0, 255).astype(np.uint8)
+            qy = fresh(node.output[0] + "_q")
+            nodes.append(make_node(
+                "QLookupTable",
+                [xq, add_init(fresh(node.output[0] + "_lut"), table)],
+                [qy], name=fresh("qlut"), domain="infur"))
+            qmap[node.output[0]] = (qy, yp)
+            continue
+
+        if op == "Mul" and not any(i in inits for i in node.input) \
+                and all(i in qmap or i in ranges for i in node.input) \
+                and node.output[0] in ranges:
+            aq, ap = ensure_q(node.input[0])
+            bq2, bp = ensure_q(node.input[1])
+            yp = _qparam(*ranges[node.output[0]])
+            qy = fresh(node.output[0] + "_q")
+            ins = [aq, add_init(qy + "_as", np.float32(ap.scale)),
+                   add_init(qy + "_az", np.uint8(ap.zero_point)),
+                   bq2, add_init(qy + "_bs", np.float32(bp.scale)),
+                   add_init(qy + "_bz", np.uint8(bp.zero_point)),
+                   add_init(qy + "_ys", np.float32(yp.scale)),
+                   add_init(qy + "_yz", np.uint8(yp.zero_point))]
+            nodes.append(make_node("QLinearMul", ins, [qy],
+                                   name=fresh("qmul"), domain="com.microsoft"))
+            qmap[node.output[0]] = (qy, yp)
+            continue
+
+        if op == "GlobalAveragePool" and (node.input[0] in qmap
+                                          or node.input[0] in ranges) \
+                and node.output[0] in ranges:
+            xq, xp = ensure_q(node.input[0])
+            yp = _qparam(*ranges[node.output[0]])
+            qy = fresh(node.output[0] + "_q")
+            ins = [xq, add_init(qy + "_xs", np.float32(xp.scale)),
+                   add_init(qy + "_xz", np.uint8(xp.zero_point)),
+                   add_init(qy + "_ys", np.float32(yp.scale)),
+                   add_init(qy + "_yz", np.uint8(yp.zero_point))]
+            nodes.append(make_node("QLinearGlobalAveragePool", ins, [qy],
+                                   name=fresh("qgap"), domain="com.microsoft"))
+            qmap[node.output[0]] = (qy, yp)
+            continue
+
+        if op == "Resize" and (node.input[0] in qmap
+                               or node.input[0] in ranges) \
+                and node.attrs().get("mode") in (b"linear", "linear"):
+            # integer linear Resize, scale/zp passthrough (interpolation
+            # stays inside the input's range) — see onnx/qresize.py
+            xq, xp = ensure_q(node.input[0])
+            qy = fresh(node.output[0] + "_q")
+            rest = [f32_rename.get(i, i) for i in node.input[1:]]
+            nodes.append(make_node("QLinearResize", [xq, *rest], [qy],
+                                   name=fresh("qresize"), domain="infur",
+                                   **node.attrs()))
+            qmap[node.output[0]] = (qy, xp)  # passthrough qparams
             continue
 
         if op == "Relu" and node.input[0] in qmap \

@@ -185,3 +185,121 @@ def test_grouped_depthwise_conv_quantizes_exactly(rng):
     for k in f32:
         scale = max(np.abs(f32[k]).max(), 1e-6)
         assert np.abs(oracle[k] - f32[k]).max() / scale < 0.15
+
+
+def test_lut_activation_exact(rng):
+    """Sigmoid/HardSwish/etc. quantize to a baked QLookupTable: the table
+    is the op, so oracle == importer bit-exactly and the dequantized
+    output tracks f32 within a quantization step."""
+    g = GraphBuilder("lut")
+    x = g.input("x", np.float32, (1, 4, 8, 8))
+    w = g.init("w", rng.normal(size=(4, 4, 1, 1)).astype(np.float32) * 0.5)
+    y = g.node("Conv", [x, w])
+    y = g.node("HardSwish", [y])
+    y = g.node("Sigmoid", [y])
+    g.output(y, np.float32, (1, 4, 8, 8))
+    model = g.model()
+    feeds = [{"x": rng.normal(size=(1, 4, 8, 8)).astype(np.float32)}
+             for _ in range(4)]
+    qmodel = quantize_static(model, feeds)
+    qops = [n.op_type for n in qmodel.graph.node]
+    assert qops.count("QLookupTable") == 2, qops
+    oracle = run_model(qmodel, feeds[0])
+    imported = import_model(qmodel)(feeds[0])
+    for k in oracle:
+        np.testing.assert_array_equal(oracle[k], np.asarray(imported[k]))
+    f32 = run_model(model, feeds[0])
+    for k in f32:  # sigmoid output in (0,1): scale ~1/255
+        assert np.abs(oracle[k] - f32[k]).max() < 0.02
+
+
+def test_qlinear_mul_exact(rng):
+    """Mul of two quantized activations -> QLinearMul (integer product +
+    fixed-point requant), broadcast included."""
+    g = GraphBuilder("mul")
+    x = g.input("x", np.float32, (1, 4, 8, 8))
+    w = g.init("w", rng.normal(size=(4, 4, 1, 1)).astype(np.float32) * 0.5)
+    a = g.node("Conv", [x, w])
+    s = g.node("GlobalAveragePool", [a])
+    s = g.node("Sigmoid", [s])
+    y = g.node("Mul", [a, s])  # (1,4,8,8) * (1,4,1,1) broadcast
+    g.output(y, np.float32, (1, 4, 8, 8))
+    model = g.model()
+    feeds = [{"x": rng.normal(size=(1, 4, 8, 8)).astype(np.float32)}
+             for _ in range(4)]
+    qmodel = quantize_static(model, feeds)
+    qops = [n.op_type for n in qmodel.graph.node]
+    assert "QLinearMul" in qops and "QLinearGlobalAveragePool" in qops, qops
+    oracle = run_model(qmodel, feeds[0])
+    imported = import_model(qmodel)(feeds[0])
+    for k in oracle:
+        np.testing.assert_array_equal(oracle[k], np.asarray(imported[k]))
+    f32 = run_model(model, feeds[0])
+    for k in f32:
+        scale = max(np.abs(f32[k]).max(), 1e-6)
+        assert np.abs(oracle[k] - f32[k]).max() / scale < 0.1
+
+
+def test_qlinear_resize_integer_exact(rng):
+    """Linear Resize between quantized ops stays integer (QLinearResize,
+    scale/zp passthrough) and matches f32 Resize within interpolation of
+    one quantization step."""
+    g = GraphBuilder("rsz")
+    x = g.input("x", np.float32, (1, 3, 8, 8))
+    w = g.init("w", rng.normal(size=(6, 3, 1, 1)).astype(np.float32) * 0.5)
+    y = g.node("Conv", [x, w])
+    y = g.node("Relu", [y])
+    y = g.node("Resize", [y, "", "", g.const(np.asarray([1, 6, 16, 16],
+                                                        np.int64))],
+               mode="linear", coordinate_transformation_mode="half_pixel")
+    w2 = g.init("w2", rng.normal(size=(6, 6, 1, 1)).astype(np.float32) * 0.3)
+    y = g.node("Conv", [y, w2])
+    g.output(y, np.float32, (1, 6, 16, 16))
+    model = g.model()
+    feeds = [{"x": rng.normal(size=(1, 3, 8, 8)).astype(np.float32)}
+             for _ in range(4)]
+    qmodel = quantize_static(model, feeds)
+    qops = [n.op_type for n in qmodel.graph.node]
+    assert "QLinearResize" in qops, qops
+    assert "Resize" not in qops
+    oracle = run_model(qmodel, feeds[0])
+    imported = import_model(qmodel)(feeds[0])
+    for k in oracle:
+        np.testing.assert_array_equal(oracle[k], np.asarray(imported[k]))
+    f32 = run_model(model, feeds[0])
+    for k in f32:
+        scale = max(np.abs(f32[k]).max(), 1e-6)
+        assert np.abs(oracle[k] - f32[k]).max() / scale < 0.1
+
+
+def test_int8_lraspp_end_to_end_bit_exact(rng):
+    """The second real architecture through the full int8 pipeline: the
+    quantized LRASPP graph is integer from the entry QuantizeLinear to the
+    boundary Dequantize (LUT activations, QLinearMul SE gates, quantized
+    GAP, integer Resize), oracle == importer bit-exactly, and the int8
+    mask tracks f32."""
+    import jax
+    from infur_tpu.models.lraspp_mobilenetv3 import (
+        init_lraspp_mobilenet_v3_large, lraspp_apply, lraspp_to_onnx,
+    )
+    from infur_tpu.onnx.passes import fold_batchnorm
+
+    p = init_lraspp_mobilenet_v3_large(jax.random.PRNGKey(3))
+    model = lraspp_to_onnx(p)
+    feeds = [{"input": rng.normal(size=(1, 3, 64, 64)).astype(np.float32) * 0.5}
+             for _ in range(3)]
+    qmodel = quantize_static(fold_batchnorm(model), feeds)
+    # fully integer interior: nothing f32 between entry quant + exit dequant
+    f32_ops = [n.op_type for n in qmodel.graph.node
+               if n.op_type in ("Conv", "Mul", "Add", "Resize", "Sigmoid",
+                                "HardSwish", "HardSigmoid",
+                                "GlobalAveragePool")]
+    assert not f32_ops, f32_ops
+    oracle = run_model(qmodel, feeds[0])["out"]
+    got = np.asarray(import_model(qmodel)(feeds[0])["out"])
+    np.testing.assert_array_equal(oracle, got)
+    f32 = np.asarray(lraspp_apply(
+        p, np.ascontiguousarray(np.transpose(feeds[0]["input"],
+                                             (0, 2, 3, 1))))["out"])
+    agree = (np.argmax(oracle, axis=1) == np.argmax(f32, axis=1)).mean()
+    assert agree > 0.9, agree
