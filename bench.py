@@ -126,11 +126,16 @@ def main() -> int:
             # top 3 bits below
             return ((mask << 3) | (conf >> 5),)
         if PACK == "confq":
-            # conf at quarter resolution: device-side 2x2 mean
+            # conf at quarter resolution (device 2x2 mean), flattened and
+            # concatenated with the mask into ONE buffer: a single D2H
+            # fetch per batch instead of two (~25 ms fixed cost each,
+            # BENCH_NOTES.md)
             b = conf.shape[0]
             c4 = conf.reshape(b, oh // 2, 2, ow // 2, 2).astype(jnp.uint16)
             confq = (c4.sum(axis=(2, 4)) // 4).astype(jnp.uint8)
-            return mask, confq
+            packed = jnp.concatenate(
+                [mask.reshape(b, -1), confq.reshape(b, -1)], axis=1)
+            return (packed,)
         return mask, conf
 
     rdr = RvfReader(_fixture_path())
@@ -150,15 +155,18 @@ def main() -> int:
             for j in range(BATCH)])
 
     def unpack(outs) -> tuple[np.ndarray, np.ndarray]:
-        """Device payload -> full-res (mask u8, conf u8) on host."""
+        """Device payload -> (mask u8 full-res, conf u8) on host; confq
+        conf stays quarter-res (the native blend indexes it directly)."""
         if PACK == "p53":
             b = np.asarray(outs[0])
             return b >> 3, (b & 7) << 5
-        mask = np.asarray(outs[0])
-        conf = np.asarray(outs[1])
         if PACK == "confq":
-            conf = conf.repeat(2, axis=1).repeat(2, axis=2)
-        return mask, conf
+            flat = np.asarray(outs[0])
+            b = flat.shape[0]
+            mask = flat[:, : oh * ow].reshape(b, oh, ow)
+            conf = flat[:, oh * ow:].reshape(b, oh // 2, ow // 2)
+            return mask, conf
+        return np.asarray(outs[0]), np.asarray(outs[1])
 
     # class ids are < 21; pre-wrap the palette so the hot loop skips the %
     palette21 = palette[np.arange(NUM_CLASSES_PAD) % len(palette)].astype(np.uint8)
@@ -174,14 +182,13 @@ def main() -> int:
         stand-in for sinks that want host pixels; the interactive app
         composites on device via the Pallas kernel)."""
         yplane = small_yuv[:, : oh * ow].reshape(-1, oh, ow)
-        if native_blend:
-            if PACK == "confq":  # native indexes quarter-res conf directly
-                return blend_overlay(np.asarray(outs[0]), np.asarray(outs[1]),
-                                     yplane, palette21)
-            mask, conf = unpack(outs)
+        mask, conf = unpack(outs)
+        if native_blend:  # quarter-res conf is indexed natively
             return blend_overlay(mask, conf, yplane, palette21)
         # NumPy fallback: int32 math, minimal temporaries
-        mask, conf = unpack(outs)
+        if conf.shape[-2:] != (oh, ow):
+            conf = conf.repeat(oh // conf.shape[-2], axis=1) \
+                       .repeat(ow // conf.shape[-1], axis=2)
         rgb = palette21[mask].astype(np.int32)
         a = conf.astype(np.int32)[..., None]
         base = yplane[..., None].astype(np.int32)  # broadcast gray

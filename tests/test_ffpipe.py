@@ -119,7 +119,10 @@ class TestNativeFfpipe:
         t0 = time.perf_counter()
         with pytest.raises(VideoStartError):
             FfpipeDecoder(["not-a-shim-url"])  # shim exits 1 instantly
-        assert time.perf_counter() - t0 < 3.0
+        # well under the 10 s header timeout; 6 s leaves headroom for shim
+        # (python) startup on a loaded machine — observed >3 s under a
+        # full parallel test run
+        assert time.perf_counter() - t0 < 6.0
 
     def test_open_error_bad_input(self, ffmpeg_on_path):
         from infur_tpu.video.ffpipe import FfpipeDecoder
