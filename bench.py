@@ -41,8 +41,9 @@ SCALE = 0.5
 BATCH = int(os.environ.get("INFUR_BENCH_BATCH", "8"))
 N_FIXTURE = 16
 MEASURE_BATCHES = max(48 // BATCH, 3)
-ROUNDS = 5
+ROUNDS = int(os.environ.get("INFUR_BENCH_ROUNDS", "5"))
 PACK = os.environ.get("INFUR_BENCH_PACK", "confq")  # confq | p53 | full
+DEPTH = int(os.environ.get("INFUR_BENCH_DEPTH", "1"))  # batches in flight
 NUM_CLASSES_PAD = 32  # argmax yields < 21; p53 unpack can surface 5 bits
 
 
@@ -212,10 +213,10 @@ def main() -> int:
     from concurrent.futures import ThreadPoolExecutor
     # ONE composite worker: numpy's int blend holds the GIL, so concurrent
     # composite threads run 5x slower than serial AND starve the dispatch/
-    # fetch threads (measured: 8 jobs serial 1.15 s vs 4-thread pool 7.6 s).
-    # A single worker still overlaps composites with device time.
+    # fetch threads (measured: 8 jobs serial 1.15 s vs 4-thread pool 7.6 s);
+    # the native hostops blend is GIL-free but one worker still suffices.
+    # DEPTH: batches in flight (the relay degrades beyond 1 — BENCH_NOTES).
     pool = ThreadPoolExecutor(1)
-    DEPTH = 1  # batches in flight (the relay degrades beyond 1)
 
     def run_round() -> float:
         t_round = time.perf_counter()
