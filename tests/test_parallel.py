@@ -88,3 +88,42 @@ def test_sharded_train_step_full_3axis_mesh():
                        shard_batch(mesh3))
     new_params, loss = train_step(params, x, y)
     assert np.isfinite(float(loss))
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """Multi-chip checkpoint/resume: NamedSharding-sharded params save
+    through orbax and restore directly onto the mesh (each leaf placed by
+    a ShapeDtypeStruct+sharding template) with values intact."""
+    import jax.numpy as jnp
+    from infur_tpu.runtime.checkpoint import (
+        load_params_orbax, save_params_orbax,
+    )
+
+    mesh = make_mesh(8, model_axis=2)
+    params = init_fcn_resnet50(jax.random.PRNGKey(4))
+    shardings = shard_fcn_params(params, mesh)
+    sharded = jax.device_put(params, shardings)
+
+    path = tmp_path / "ckpt_sharded"
+    save_params_orbax(str(path), sharded)
+
+    like = jax.tree.map(
+        lambda a, s: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=s),
+        params, shardings)
+    restored = load_params_orbax(str(path), like=like)
+    # placement: restored leaves carry the mesh sharding
+    from jax.sharding import PartitionSpec as P
+    assert restored["stem_conv"].sharding.spec == P(None, None, None, "model")
+    # values: exact round trip
+    flat_a = jax.tree.leaves(sharded)
+    flat_b = jax.tree.leaves(restored)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the restored tree trains
+    rng = np.random.default_rng(0)
+    x = jax.device_put(rng.normal(size=(4, 16, 16, 3)).astype(np.float32),
+                       shard_batch(mesh))
+    y = jax.device_put(rng.integers(0, 21, size=(4, 16, 16)).astype(np.int32),
+                       shard_batch(mesh))
+    _, loss = train_step(restored, x, y)
+    assert np.isfinite(float(loss))
