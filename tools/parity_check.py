@@ -32,10 +32,24 @@ def main() -> int:
     rng = np.random.default_rng(0)
     feed = {"input": rng.normal(size=(1, 3, h, w)).astype(np.float32)}
 
+    # second architecture: int8 LRASPP (LUT activations, QLinearMul SE
+    # gates, quantized GAP, integer Resize — the full-integer interior)
+    import jax as _jax
+    from infur_tpu.models.lraspp_mobilenetv3 import (
+        init_lraspp_mobilenet_v3_large, lraspp_to_onnx,
+    )
+    from infur_tpu.onnx.passes import fold_batchnorm
+    from infur_tpu.onnx.quantize import quantize_static
+    lp = init_lraspp_mobilenet_v3_large(_jax.random.PRNGKey(3))
+    calib = [{"input": rng.normal(size=(1, 3, h, w)).astype(np.float32) * 0.5}
+             for _ in range(3)]
+    lraspp_q = quantize_static(fold_batchnorm(lraspp_to_onnx(lp)), calib)
+
     ok = True
     for name, path in (("fcn_resnet50_f32", fcn_resnet50_onnx(args.root)),
-                       ("fcn_resnet50_int8", fcn_resnet50_int8_onnx(args.root))):
-        model = load_model(path)
+                       ("fcn_resnet50_int8", fcn_resnet50_int8_onnx(args.root)),
+                       ("lraspp_mnv3_int8", lraspp_q)):
+        model = path if not isinstance(path, str) else load_model(path)
         want = run_model(model, feed)["out"]
         got = np.asarray(import_model(model)(feed)["out"])
         dev = float(np.abs(got - want).max() / max(np.abs(want).max(), 1e-9))
