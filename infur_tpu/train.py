@@ -17,6 +17,7 @@ from typing import Any, Callable, Iterable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 log = logging.getLogger(__name__)
@@ -55,6 +56,62 @@ def moe_segmentation_loss(params: Any, x_nhwc: jax.Array,
     logits, aux = segformer_moe_forward(params, x_nhwc)
     ce = segmentation_ce(lambda p, x: logits, params, x_nhwc, labels_nhw)
     return ce + moe_aux_weight * aux
+
+
+def segmentation_metrics(logits_nchw: jax.Array, labels_nhw: jax.Array,
+                         num_classes: int | None = None
+                         ) -> dict[str, jax.Array]:
+    """Pixel accuracy and mean IoU for a batch (label -1 = void, ignored).
+
+    Returns {"pixel_acc", "miou", "iou": (K,)}; classes absent from both
+    prediction and label are excluded from the mean (NaN-safe).  Jittable
+    (fixed shapes via one-hot confusion accumulation).
+    """
+    k = num_classes or logits_nchw.shape[1]
+    pred = jnp.argmax(logits_nchw, axis=1)
+    valid = labels_nhw >= 0
+    safe = jnp.maximum(labels_nhw, 0)
+    # confusion matrix via one-hot outer accumulation
+    idx = (safe * k + pred).reshape(-1)
+    conf = jnp.zeros((k * k,), jnp.float32).at[idx].add(
+        valid.reshape(-1).astype(jnp.float32)).reshape(k, k)
+    tp = jnp.diag(conf)
+    union = conf.sum(0) + conf.sum(1) - tp
+    iou = jnp.where(union > 0, tp / jnp.maximum(union, 1), jnp.nan)
+    present = union > 0
+    miou = jnp.where(present.any(),
+                     jnp.nansum(jnp.where(present, iou, 0.0))
+                     / jnp.maximum(present.sum(), 1), jnp.nan)
+    acc = (tp.sum() / jnp.maximum(conf.sum(), 1))
+    return {"pixel_acc": acc, "miou": miou, "iou": iou}
+
+
+def evaluate(apply_fn: ApplyFn, params: Any,
+             data: Iterable[tuple[jax.Array, jax.Array]],
+             num_classes: int | None = None) -> dict[str, float]:
+    """mIoU/accuracy over an iterable of (x_nhwc, labels_nhw) batches,
+    accumulating one confusion matrix across the set."""
+    total_conf = None
+    k = num_classes
+    fwd = jax.jit(lambda p, x: apply_fn(p, x)["out"])
+    for x, y in data:
+        logits = fwd(params, x)
+        k = k or logits.shape[1]
+        pred = np.asarray(jnp.argmax(logits, axis=1))
+        yv = np.asarray(y)
+        valid = yv >= 0
+        idx = yv[valid] * k + pred[valid]
+        conf = np.bincount(idx.reshape(-1), minlength=k * k) \
+            .reshape(k, k).astype(np.float64)
+        total_conf = conf if total_conf is None else total_conf + conf
+    tp = np.diag(total_conf)
+    union = total_conf.sum(0) + total_conf.sum(1) - tp
+    present = union > 0
+    iou = np.where(present, tp / np.maximum(union, 1), np.nan)
+    return {
+        "pixel_acc": float(tp.sum() / max(total_conf.sum(), 1)),
+        "miou": float(np.nanmean(iou)) if present.any() else float("nan"),
+    }
 
 
 def make_train_step(apply_fn: ApplyFn, tx: optax.GradientTransformation,

@@ -82,3 +82,44 @@ def test_finetune_segformer_moe_with_aux_loss(rng):
     assert losses[-1] < losses[0]  # it optimizes
     w = np.asarray(new_params["stage3"]["blocks"][0]["moe"]["w1"])
     assert not np.allclose(w, np.asarray(params["stage3"]["blocks"][0]["moe"]["w1"]))
+
+
+def test_segmentation_metrics_hand_case():
+    """mIoU/accuracy against a hand-computed confusion matrix; void pixels
+    ignored; absent classes excluded from the mean."""
+    import jax.numpy as jnp
+    from infur_tpu.train import segmentation_metrics
+
+    # 1 image, 2x3, 3 classes. logits -> pred = [[0,0,1],[1,2,2]]
+    pred = np.array([[0, 0, 1], [1, 2, 2]])
+    logits = np.full((1, 3, 2, 3), -10.0, np.float32)
+    for y in range(2):
+        for x in range(3):
+            logits[0, pred[y, x], y, x] = 10.0
+    labels = np.array([[[0, 1, 1], [1, 2, -1]]], np.int32)  # one void
+    m = segmentation_metrics(jnp.asarray(logits), jnp.asarray(labels))
+    # valid pixels (void dropped): pred [0,0,1,1,2], label [0,1,1,1,2]
+    # class0: tp1 fp1 fn0 -> iou 1/2 ; class1: tp2 fp0 fn1 -> 2/3 ; class2: 1/1
+    assert abs(float(m["pixel_acc"]) - 4 / 5) < 1e-6
+    np.testing.assert_allclose(np.asarray(m["iou"]), [0.5, 2 / 3, 1.0],
+                               rtol=1e-6)
+    assert abs(float(m["miou"]) - (0.5 + 2 / 3 + 1.0) / 3) < 1e-6
+
+
+def test_evaluate_matches_jit_metrics(rng):
+    """The streaming evaluate() agrees with the jitted per-batch metrics
+    on a single batch, and runs a real family forward."""
+    import jax
+    from infur_tpu.models import init_lraspp_mobilenet_v3_large, lraspp_apply
+    from infur_tpu.train import evaluate, segmentation_metrics
+
+    params = init_lraspp_mobilenet_v3_large(jax.random.PRNGKey(0),
+                                            num_classes=5)
+    x = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    y = rng.integers(-1, 5, size=(2, 32, 32)).astype(np.int32)
+    out = evaluate(lambda p, xx: lraspp_apply(p, xx), params, [(x, y)],
+                   num_classes=5)
+    logits = lraspp_apply(params, x)["out"]
+    m = segmentation_metrics(logits, y, num_classes=5)
+    assert abs(out["pixel_acc"] - float(m["pixel_acc"])) < 1e-6
+    assert abs(out["miou"] - float(m["miou"])) < 1e-5
