@@ -207,8 +207,9 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     play = sub.add_parser("play", help="run the pipeline headlessly")
-    play.add_argument("inputs", nargs="*", help="video inputs "
-                      "(synth:WxH@FPS:D | *.rvf | anything ffmpeg opens)")
+    play.add_argument("inputs", nargs="*", help="video or image inputs "
+                      "(synth:WxH@FPS:D | *.rvf | *.png/jpg/npy | "
+                      "anything ffmpeg opens)")
     play.add_argument("--model", default=None,
                       help="*.onnx | native family (fcn_resnet50[:bf16])")
     play.add_argument("--scale", type=float, default=None)

@@ -4,6 +4,9 @@ Dispatch (first input decides):
 
 * ``synth:WxH@FPS:D``  -> :class:`SynthDecoder` (procedural test pattern)
 * ``*.rvf``            -> :class:`RvfDecoder` (native raw container)
+* image files (png/jpg/...) -> :class:`~infur_tpu.video.image.ImageDecoder`
+  (one frame per input then EOF — the reference's "images" capability,
+  reference Cargo.toml:9, served by ffmpeg image2pipe there)
 * anything else        -> ffmpeg subprocess decoder: the C++ ``ffpipe`` ring
   (csrc/, preferred) or the pure-Python pipe reader — both run
   ``ffmpeg ... -pix_fmt bgr24 -c:v rawvideo pipe:1`` and read exact
@@ -251,6 +254,9 @@ def open_video(inputs: Sequence[str],
         return SynthDecoder(spec, pix_fmt=pix_fmt)
     if first.endswith(".rvf"):
         return RvfDecoder(first)
+    from infur_tpu.video.image import ImageDecoder, is_image_path
+    if is_image_path(first):
+        return ImageDecoder(inputs, pix_fmt=pix_fmt)
     if not have_ffmpeg():
         raise VideoStartError(
             f"cannot open {first!r}: no ffmpeg on this host "

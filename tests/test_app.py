@@ -209,3 +209,28 @@ def test_bucket_validation():
         ModelStage(bucket=0)
     with pytest.raises(ModelLoadError):
         ModelStage(bucket=-8)
+
+def test_still_image_displays_and_rerenders(tmp_path):
+    """An image input yields one frame, then EOF retains it; parameter
+    changes keep re-rendering the same retained frame (the reference's
+    "images" capability: one image2pipe frame + EOF-as-control-flow,
+    reference Cargo.toml:9, processing.rs:133-135)."""
+    from PIL import Image
+    rng = np.random.default_rng(7)
+    bgr = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    p = tmp_path / "still.png"
+    Image.fromarray(np.ascontiguousarray(bgr[:, :, ::-1]), "RGB").save(p)
+
+    app = ProcessingApp()
+    app.control(Play([str(p)]))
+    f = app.generate()
+    assert f.id == 1
+    assert np.asarray(f.buffer).shape == (24, 32, 4)
+    np.testing.assert_array_equal(np.asarray(f.buffer)[:, :, 2], bgr[:, :, 0])
+    assert app.generate() is None          # EOF after the single frame
+    assert not app.is_dirty()
+    app.control(ScaleCmd(2.0))             # still re-renders the image
+    f2 = app.generate()
+    assert f2.id == 1
+    assert np.asarray(f2.buffer).shape == (48, 64, 4)
+    app.close()

@@ -120,3 +120,82 @@ class TestDecoderFacade:
     def test_empty_inputs(self):
         with pytest.raises(VideoStartError):
             open_video([])
+
+
+class TestImageDecoder:
+    """Still-image sources: the reference's "images" capability
+    (reference Cargo.toml:9, one image2pipe frame then EOF)."""
+
+    @staticmethod
+    def _png(path, bgr):
+        from PIL import Image
+        Image.fromarray(np.ascontiguousarray(bgr[:, :, ::-1]), "RGB").save(path)
+
+    def test_png_single_frame_then_eof(self, tmp_path, rng):
+        from infur_tpu.video.image import ImageDecoder
+        bgr = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+        p = tmp_path / "img.png"
+        self._png(p, bgr)
+        d = open_video([str(p)])
+        assert isinstance(d, ImageDecoder)
+        assert (d.width, d.height, d.fps) == (32, 24, 25.0)
+        buf = d.empty_image()
+        assert d.read_frame_into(buf) == 1
+        np.testing.assert_array_equal(buf, bgr)  # PNG is lossless
+        with pytest.raises(VideoEOF):
+            d.read_frame_into(buf)
+        d.close()
+
+    def test_multi_image_sequence(self, tmp_path, rng):
+        imgs = [rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+                for _ in range(3)]
+        paths = []
+        for i, im in enumerate(imgs):
+            p = tmp_path / f"f{i}.png"
+            self._png(p, im)
+            paths.append(str(p))
+        d = open_video(paths)
+        buf = d.empty_image()
+        for i, im in enumerate(imgs):
+            assert d.read_frame_into(buf) == i + 1
+            np.testing.assert_array_equal(buf, im)
+        with pytest.raises(VideoEOF):
+            d.read_frame_into(buf)
+
+    def test_npy_image(self, tmp_path, rng):
+        bgr = rng.integers(0, 256, (8, 10, 3), dtype=np.uint8)
+        p = tmp_path / "img.npy"
+        np.save(p, bgr)
+        d = open_video([str(p)])
+        buf = d.empty_image()
+        d.read_frame_into(buf)
+        np.testing.assert_array_equal(buf, bgr)
+
+    def test_mismatched_dims_is_typed_error(self, tmp_path, rng):
+        a, b = tmp_path / "a.png", tmp_path / "b.png"
+        self._png(a, rng.integers(0, 256, (16, 16, 3), dtype=np.uint8))
+        self._png(b, rng.integers(0, 256, (8, 16, 3), dtype=np.uint8))
+        with pytest.raises(VideoStartError):
+            open_video([str(a), str(b)])
+
+    def test_undecodable_is_typed_error(self, tmp_path):
+        p = tmp_path / "junk.png"
+        p.write_bytes(b"not a png at all")
+        with pytest.raises(VideoStartError):
+            open_video([str(p)])
+
+    def test_yuv420p_wire_format(self, tmp_path, rng):
+        from infur_tpu.ops.yuv import bgr_to_i420
+        bgr = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+        p = tmp_path / "img.png"
+        self._png(p, bgr)
+        d = open_video([str(p)], pix_fmt="yuv420p")
+        buf = d.empty_image()
+        assert buf.shape == (24 * 32 * 3 // 2,)
+        d.read_frame_into(buf)
+        np.testing.assert_array_equal(buf, bgr_to_i420(bgr))
+        # odd dims refuse 4:2:0, same rule as the synth source
+        q = tmp_path / "odd.png"
+        self._png(q, rng.integers(0, 256, (9, 9, 3), dtype=np.uint8))
+        with pytest.raises(VideoStartError):
+            open_video([str(q)], pix_fmt="yuv420p")
