@@ -100,12 +100,13 @@ def conv2d_reference(x: np.ndarray, w: np.ndarray, b: np.ndarray | None,
         if b is not None:
             out = out + b.reshape(1, -1, 1, 1).astype(out.dtype)
         return out
-    for g in range(groups):
-        vg = view[:, g * cg:(g + 1) * cg]          # (N,cg,Ho,Wo,kH,kW)
-        wg = w[g * mg:(g + 1) * mg]                # (mg,cg,kH,kW)
-        # contract over (cg,kH,kW)
-        out[:, g * mg:(g + 1) * mg] = np.einsum(
-            "nchwij,mcij->nmhw", vg, wg, optimize=True)
+    # grouped general case: one einsum with an explicit group axis (the
+    # reshape materializes the strided window view once; still far cheaper
+    # than a Python loop over groups)
+    vg = view.reshape(n, groups, cg, ho, wo, kh, kw)
+    wg = w.reshape(groups, mg, cg, kh, kw)
+    out[:] = np.einsum("ngchwij,gmcij->ngmhw", vg, wg,
+                       optimize=True).reshape(n, m, ho, wo)
     if b is not None:
         out = out + b.reshape(1, -1, 1, 1).astype(out.dtype)
     return out
