@@ -30,7 +30,9 @@ import numpy as np
 
 from infur_tpu.errors import ModelInputFormatError, ModelLoadError
 from infur_tpu.processing import Cell, Frame, Processor
-from infur_tpu.ops.preprocess import PreProc, preprocess
+from infur_tpu.ops.preprocess import (
+    IMAGENET_MEAN_RGB, IMAGENET_STD_RGB, PreProc, preprocess,
+)
 
 
 @dataclass(frozen=True)
@@ -96,9 +98,82 @@ def infer_sig_preproc(dims: tuple[Any, ...], dtype: np.dtype,
     raise ModelInputFormatError(f"unsupported model input dtype {dtype}")
 
 
+def _parse_spec_query(spec: str) -> tuple[str, dict[str, str]]:
+    """Split ``spec?key=val&...`` preprocess overrides off a model spec.
+
+    The reference hardcodes its channel-order / normalization conventions
+    and flags them as "should become proper controls"
+    (predict_onnx.rs:285-306, reference README.md:75); here they are:
+
+    * ``order=rgb|bgr``            channel-order convention override
+    * ``norm=imagenet|unit|none``  imagenet stats | /255 to [0,1] | raw 0..255
+    * ``mean=r,g,b`` ``std=r,g,b`` explicit stats (in channel order)
+    * ``interp=nearest|bilinear``  resize sampling
+    """
+    base, _, query = spec.partition("?")
+    if not query:
+        return spec, {}
+    ov: dict[str, str] = {}
+    for part in query.split("&"):
+        if not part:
+            continue
+        key, eq, val = part.partition("=")
+        if not eq or key not in ("order", "norm", "mean", "std", "interp"):
+            raise ModelLoadError(
+                f"bad preprocess override {part!r} in {spec!r} "
+                "(expected order=/norm=/mean=/std=/interp=)")
+        ov[key] = val
+    _apply_overrides(PreProc(out_hw=(1, 1)), ov)  # eager value validation
+    return base, ov
+
+
+def _apply_overrides(pp: PreProc, ov: dict[str, str]) -> PreProc:
+    """Apply parsed spec-query overrides onto an inferred PreProc."""
+    import dataclasses
+
+    def stats(val: str) -> tuple[float, float, float]:
+        try:
+            m = tuple(float(v) for v in val.split(","))
+        except ValueError:
+            m = ()
+        if len(m) != 3:
+            raise ModelLoadError(f"need 3 comma-separated floats, got {val!r}")
+        return m
+
+    changes: dict[str, Any] = {}
+    if "order" in ov:
+        if ov["order"] not in ("rgb", "bgr"):
+            raise ModelLoadError(f"order must be rgb|bgr, got {ov['order']!r}")
+        changes["channel_order"] = ov["order"]
+    if "norm" in ov:
+        if ov["norm"] == "imagenet":
+            mean, std = IMAGENET_MEAN_RGB, IMAGENET_STD_RGB
+            if changes.get("channel_order", pp.channel_order) == "bgr":
+                mean, std = mean[::-1], std[::-1]
+            changes["mean"], changes["std"] = mean, std
+        elif ov["norm"] == "unit":     # x/255 in [0, 1]
+            changes["mean"], changes["std"] = (0.0,) * 3, (1.0,) * 3
+        elif ov["norm"] == "none":     # raw 0..255 floats
+            changes["mean"], changes["std"] = (0.0,) * 3, (1.0 / 255.0,) * 3
+        else:
+            raise ModelLoadError(
+                f"norm must be imagenet|unit|none, got {ov['norm']!r}")
+    if "mean" in ov:
+        changes["mean"] = stats(ov["mean"])
+    if "std" in ov:
+        changes["std"] = stats(ov["std"])
+    if "interp" in ov:
+        if ov["interp"] not in ("nearest", "bilinear"):
+            raise ModelLoadError(
+                f"interp must be nearest|bilinear, got {ov['interp']!r}")
+        changes["interp"] = ov["interp"]
+    return dataclasses.replace(pp, **changes) if changes else pp
+
+
 class _OnnxBackend:
-    def __init__(self, spec: str):
+    def __init__(self, spec: str, overrides: dict[str, str] | None = None):
         from infur_tpu.onnx import import_model
+        self.overrides = overrides or {}
         self.imported = import_model(spec)
         vi = self.imported.input_info
         if len(vi) != 1:
@@ -111,7 +186,9 @@ class _OnnxBackend:
         self.output_names = tuple(self.imported.output_names)
 
     def preproc(self, out_hw: tuple[int, int]) -> PreProc:
-        return infer_sig_preproc(self.dims, self.np_dtype, out_hw)
+        return _apply_overrides(
+            infer_sig_preproc(self.dims, self.np_dtype, out_hw),
+            self.overrides)
 
     def __call__(self, x: jax.Array) -> dict[str, jax.Array]:
         return self.imported({self.input_name: x})
@@ -125,7 +202,9 @@ class _NativeBackend:
     declares (unknown opts are a typed error, not a silent default).
     """
 
-    def __init__(self, spec: str, family: "_Family"):
+    def __init__(self, spec: str, family: "_Family",
+                 overrides: dict[str, str] | None = None):
+        self.overrides = overrides or {}
         body, _, ckpt = spec.partition("@")
         opts = [o for o in body.split(":")[1:] if o]
         self.compute_dtype = "float32"
@@ -149,8 +228,10 @@ class _NativeBackend:
         self.output_names = family.outputs(self.params)
 
     def preproc(self, out_hw: tuple[int, int]) -> PreProc:
-        return PreProc.imagenet(out_hw, layout="NHWC", channel_order="rgb",
-                                compute_dtype=self.compute_dtype)
+        return _apply_overrides(
+            PreProc.imagenet(out_hw, layout="NHWC", channel_order="rgb",
+                             compute_dtype=self.compute_dtype),
+            self.overrides)
 
     def __call__(self, x: jax.Array) -> dict[str, jax.Array]:
         return self._apply(self.params, x, compute_dtype=self.compute_dtype)
@@ -239,17 +320,18 @@ def _segformer_moe_apply_lazy(params, x, compute_dtype="float32"):
 
 
 def _open_backend(spec: str):
-    if spec.endswith(".onnx"):
+    base, overrides = _parse_spec_query(spec)
+    if base.endswith(".onnx"):
         try:
-            return _OnnxBackend(spec)
+            return _OnnxBackend(base, overrides)
         except (ModelLoadError, ModelInputFormatError):
             raise
         except Exception as e:  # parse/dtype/shape errors become typed
             raise ModelLoadError(f"cannot load {spec!r}: {e}") from e
-    family = spec.split(":")[0].split("@")[0]
+    family = base.split(":")[0].split("@")[0]
     families = _families()
     if family in families:
-        return _NativeBackend(spec, families[family])
+        return _NativeBackend(base, families[family], overrides)
     raise ModelLoadError(
         f"unknown model spec {spec!r} (expected *.onnx or a native family)")
 

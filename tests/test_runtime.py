@@ -118,3 +118,61 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     back = load_params(p)  # directory -> orbax path
     np.testing.assert_array_equal(np.asarray(back["w"]), np.asarray(params["w"]))
     np.testing.assert_array_equal(np.asarray(back["blocks"][0]["b"]), np.ones(2))
+
+
+# -- preprocess override controls (the reference's flagged todos,
+#    predict_onnx.rs:285-306: conventions "should become proper controls") --
+
+def test_spec_query_overrides_native_family():
+    from infur_tpu.model_stage import Load, ModelStage
+    st = ModelStage()
+    st.control(Load("lraspp?order=bgr&norm=unit&interp=bilinear"))
+    pp = st._backend.preproc((16, 16))
+    assert pp.channel_order == "bgr"
+    assert pp.mean == (0.0, 0.0, 0.0) and pp.std == (1.0, 1.0, 1.0)
+    assert pp.interp == "bilinear"
+
+
+def test_spec_query_norm_none_gives_raw_bytes_as_float():
+    import jax.numpy as jnp
+    from infur_tpu.model_stage import Load, ModelStage
+    from infur_tpu.ops.preprocess import preprocess
+    st = ModelStage()
+    st.control(Load("lraspp?norm=none&order=bgr"))
+    pp = st._backend.preproc((4, 4))
+    frame = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    x = np.asarray(preprocess(jnp.asarray(frame), pp))
+    np.testing.assert_allclose(x[0], frame.astype(np.float32),
+                               atol=1e-4)  # raw 0..255, BGR untouched
+
+
+def test_spec_query_explicit_stats_and_errors():
+    import pytest
+    from infur_tpu.errors import ModelLoadError
+    from infur_tpu.model_stage import Load, ModelStage
+    st = ModelStage()
+    st.control(Load("lraspp?mean=0.5,0.5,0.5&std=0.25,0.25,0.25"))
+    pp = st._backend.preproc((8, 8))
+    assert pp.mean == (0.5, 0.5, 0.5) and pp.std == (0.25, 0.25, 0.25)
+    for bad in ("lraspp?order=abc", "lraspp?norm=zscore",
+                "lraspp?mean=1,2", "lraspp?bogus=1", "lraspp?order"):
+        with pytest.raises(ModelLoadError):
+            ModelStage().control(Load(bad))
+
+
+def test_spec_query_on_onnx_overrides_heuristic(tmp_path):
+    """A float ONNX model is heuristically RGB+imagenet; ?order=bgr&norm=unit
+    overrides both (stats flipped is NOT applied — unit is symmetric)."""
+    from infur_tpu.model_stage import Load, ModelStage
+    from infur_tpu.onnx import GraphBuilder
+
+    g = GraphBuilder("tiny")
+    x = g.input("x", np.float32, (1, 3, 8, 8))
+    g.output(g.node("Relu", [x], outputs=["out"]), np.float32, (1, 3, 8, 8))
+    p = tmp_path / "tiny.onnx"
+    p.write_bytes(g.model().encode())
+    st = ModelStage()
+    st.control(Load(f"{p}?order=bgr&norm=unit"))
+    pp = st._backend.preproc((8, 8))
+    assert pp.layout == "NCHW" and pp.channel_order == "bgr"
+    assert pp.mean == (0.0, 0.0, 0.0)
