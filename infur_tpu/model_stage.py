@@ -208,16 +208,20 @@ class _NativeBackend:
         body, _, ckpt = spec.partition("@")
         opts = [o for o in body.split(":")[1:] if o]
         self.compute_dtype = "float32"
+        self.apply_kwargs: dict[str, str] = {}
         variant = None
         for o in opts:
             if o == "bf16":
                 self.compute_dtype = "bfloat16"
             elif o in family.variants:
                 variant = o
+            elif o in family.apply_opts:
+                self.apply_kwargs.update([family.apply_opts[o]])
             else:
                 raise ModelLoadError(
                     f"unknown option {o!r} for {family.name} "
-                    f"(expected bf16 or one of {sorted(family.variants)})")
+                    f"(expected bf16, one of {sorted(family.variants)}"
+                    f"{' or ' + '/'.join(sorted(family.apply_opts)) if family.apply_opts else ''})")
         if ckpt:
             self.params = _load_ckpt(family.name, ckpt)
         else:
@@ -234,7 +238,8 @@ class _NativeBackend:
             self.overrides)
 
     def __call__(self, x: jax.Array) -> dict[str, jax.Array]:
-        return self._apply(self.params, x, compute_dtype=self.compute_dtype)
+        return self._apply(self.params, x, compute_dtype=self.compute_dtype,
+                           **self.apply_kwargs)
 
 
 def _load_ckpt(family: str, ckpt: str):
@@ -265,6 +270,8 @@ class _Family:
     variants: frozenset = frozenset()
     outputs: Any = staticmethod(
         lambda p: ("out", "aux") if "aux_head" in p else ("out",))
+    #: extra spec opts -> apply() kwarg, e.g. "flash" -> fused Pallas attention
+    apply_opts: Any = field(default_factory=dict)
 
 
 def _families() -> dict[str, _Family]:
@@ -283,7 +290,8 @@ def _families() -> dict[str, _Family]:
             "segformer",
             lambda k, v: init_segformer(k, variant=v or "b0"),
             segformer_apply, variants=frozenset({"b0", "b1", "b2"}),
-            outputs=staticmethod(lambda p: ("out",))),
+            outputs=staticmethod(lambda p: ("out",)),
+            apply_opts={"flash": ("attn_impl", "flash")}),
         "segformer_moe": _Family(
             "segformer_moe",
             lambda k, v: _init_segformer_moe_lazy(k, v),

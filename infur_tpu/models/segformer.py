@@ -121,7 +121,7 @@ def _conv(x, w, stride=1, groups=1, pad="SAME"):
     ).astype(x.dtype)
 
 
-def _attn(x_nhwc, blk, heads, sr):
+def _attn(x_nhwc, blk, heads, sr, impl="einsum"):
     n, h, w, d = x_nhwc.shape
     dh = d // heads
     q = (x_nhwc.reshape(n, h * w, d) @ blk["q"].astype(x_nhwc.dtype)
@@ -138,9 +138,14 @@ def _attn(x_nhwc, blk, heads, sr):
     qh = q.reshape(n, h * w, heads, dh).transpose(0, 2, 1, 3)
     kh = k.reshape(n, l2, heads, dh).transpose(0, 2, 1, 3)
     vh = v.reshape(n, l2, heads, dh).transpose(0, 2, 1, 3)
-    scores = jnp.einsum("nhld,nhmd->nhlm", qh, kh) / np.sqrt(dh)
-    att = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(qh.dtype)
-    out = jnp.einsum("nhlm,nhmd->nhld", att, vh)
+    if impl in ("flash", "flash_interpret"):
+        from infur_tpu.ops.pallas_attention import flash_attention
+        out = flash_attention(qh, kh, vh, scale=float(1.0 / np.sqrt(dh)),
+                              interpret=impl == "flash_interpret")
+    else:
+        scores = jnp.einsum("nhld,nhmd->nhlm", qh, kh) / np.sqrt(dh)
+        att = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(qh.dtype)
+        out = jnp.einsum("nhlm,nhmd->nhld", att, vh)
     out = out.transpose(0, 2, 1, 3).reshape(n, h * w, d)
     out = out @ blk["proj"].astype(out.dtype) + blk["proj_b"].astype(out.dtype)
     return out.reshape(n, h, w, d)
@@ -150,7 +155,7 @@ def _mixffn(x_nhwc, blk):
     n, h, w, d = x_nhwc.shape
     y = x_nhwc @ blk["fc1"].astype(x_nhwc.dtype) + blk["fc1_b"].astype(x_nhwc.dtype)
     y = _conv(y, blk["dw"], groups=y.shape[-1]) + blk["dw_b"].astype(y.dtype)
-    y = jax.nn.gelu(y)
+    y = jax.nn.gelu(y, approximate=False)  # exact erf, like NVlabs/HF nn.GELU
     return y @ blk["fc2"].astype(y.dtype) + blk["fc2_b"].astype(y.dtype)
 
 
@@ -163,9 +168,9 @@ def _mixffn(x_nhwc, blk):
 def segformer_to_onnx(params: dict[str, Any], input_hw: tuple[int, int],
                       variant: str = "b0", opset: int = 20):
     """Emit a static-shape ONNX graph (NCHW f32 'input' -> 'out') from
-    native params.  Opset 20 for Gelu(approximate='tanh') — matching
-    jax.nn.gelu's default.  cf. fcn_resnet50_to_onnx for the exporter
-    conventions; static dims keep the attention Reshapes constant."""
+    native params.  Opset 20 for the Gelu op (exact erf form, matching the
+    forward).  cf. fcn_resnet50_to_onnx for the exporter conventions;
+    static dims keep the attention Reshapes constant."""
     from infur_tpu.models.fcn_resnet50 import _onnx_conv_weight
     from infur_tpu.onnx.export import GraphBuilder
 
@@ -254,7 +259,7 @@ def segformer_to_onnx(params: dict[str, Any], input_hw: tuple[int, int],
             img = image_of(f, 4 * d, hh, ww)
             img = conv(img, blk["dw"], pad=1, groups=4 * d, bias=blk["dw_b"])
             f = g.node("Gelu", [tokens_of(img, 4 * d, hh, ww)],
-                       approximate="tanh")
+                       approximate="none")
             f = matmul_bias(f, blk["fc2"], blk["fc2_b"])
             t = g.node("Add", [t, f])
         t = ln(t, st["out_ln"])
@@ -295,16 +300,22 @@ def segformer_to_onnx(params: dict[str, Any], input_hw: tuple[int, int],
     return g.model(opset=opset)
 
 
-@partial(jax.jit, static_argnames=("compute_dtype",))
+@partial(jax.jit, static_argnames=("compute_dtype", "attn_impl"))
 def segformer_apply(params: dict[str, Any], x_nhwc: jax.Array,
-                    compute_dtype: str = "float32") -> dict[str, jax.Array]:
-    """(N, H, W, 3) normalized f32 -> {"out": (N, K, H, W) f32}."""
+                    compute_dtype: str = "float32",
+                    attn_impl: str = "einsum") -> dict[str, jax.Array]:
+    """(N, H, W, 3) normalized f32 -> {"out": (N, K, H, W) f32}.
+
+    ``attn_impl="flash"`` uses the fused Pallas attention kernel
+    (ops/pallas_attention.py); ``"flash_interpret"`` is its CPU-testable
+    interpreter mode; default ``"einsum"`` is the pure-XLA path.
+    """
     with jax.default_matmul_precision(
             "highest" if compute_dtype == "float32" else "default"):
-        return _segformer_forward(params, x_nhwc, compute_dtype)
+        return _segformer_forward(params, x_nhwc, compute_dtype, attn_impl)
 
 
-def _segformer_forward(params, x_nhwc, compute_dtype):
+def _segformer_forward(params, x_nhwc, compute_dtype, attn_impl="einsum"):
     n, h0, w0, _ = x_nhwc.shape
     x = x_nhwc.astype(compute_dtype)
     feats = []
@@ -321,7 +332,7 @@ def _segformer_forward(params, x_nhwc, compute_dtype):
         x = _ln(x, st["patch_ln"])
         heads, sr = HEADS[s], SR[s]
         for blk in st["blocks"]:
-            x = x + _attn(_ln(x, blk["ln1"]), blk, heads, sr)
+            x = x + _attn(_ln(x, blk["ln1"]), blk, heads, sr, attn_impl)
             x = x + _mixffn(_ln(x, blk["ln2"]), blk)
         x = _ln(x, st["out_ln"])
         feats.append(x)

@@ -1,0 +1,114 @@
+"""Pallas TPU kernel: fused attention for SegFormer's efficient self-attention.
+
+The XLA path (models/segformer.py::_attn) materializes the (L, L2) score
+matrix in HBM between the two einsums; this kernel fuses
+``softmax(q @ k^T * scale) @ v`` into one VMEM-resident pass per query
+tile.  The TPU-first observation that shapes the design: SegFormer's
+spatial-reduction attention bounds the KV length to L2 = L / sr^2, so K
+and V fit whole in VMEM and no online-softmax streaming is needed — each
+grid step loads one query tile, computes its full score row block on the
+MXU, softmaxes in f32 on the VPU, and applies V, never touching HBM with
+the scores.
+
+Measured role (tools/microbench_attention.py, v5e): at interactive
+resolutions XLA's batched-matmul fusion is FASTER (b0 whole-model
+2.6 vs 3.4 ms/frame at 540x960 bf16) — SR attention is a small share of
+b0 and the kernel's dh=32 contractions under-fill the MXU, so the
+default ``attn_impl="einsum"`` stands.  The kernel's value is its O(L·dh)
+memory: the einsum path materializes (L, L2) scores that reach ~16.8 GB
+f32 for stage 1 at 4K input (OOM on a 16 GB chip), while the fused path
+peaks at one (TILE_Q, L2) block per core — ``segformer:b0:flash`` is the
+resolution-scaling configuration, selected via the model-spec opt.
+
+Zero-padding strategy (everything stays MXU/VPU tile aligned):
+
+* head dim (32 for every MiT size) zero-pads to the 128-lane width —
+  padded q/k lanes contribute 0 to the scores, padded v lanes produce
+  zeros that are sliced off;
+* L2 pads to a lane multiple; padded key columns are masked to -inf
+  before the softmax so they get zero weight;
+* L pads to the query-tile multiple; padded rows compute garbage that is
+  sliced off on return.
+
+Numerics match the einsum reference: scores and softmax accumulate in
+f32 regardless of the input dtype (bf16 inputs hit the MXU as bf16 with
+f32 accumulation, same as ``preferred_element_type`` on the XLA path).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+TILE_Q = 256  # query rows per grid step (512 measured slower on v5e)
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, out_ref, *, scale: float, l2: int):
+    q = q_ref[0]  # (TILE_Q, DH_pad)
+    k = k_ref[0]  # (L2_pad, DH_pad)
+    v = v_ref[0]  # (L2_pad, DH_pad)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # (TILE_Q, L2_pad)
+    if l2 < k.shape[0]:  # mask padded key columns out of the softmax
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < l2, s, -jnp.inf)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) / denom
+    out_ref[0] = o.astype(out_ref.dtype)
+
+
+def _pad_to(x: jax.Array, axis: int, mult: int) -> jax.Array:
+    pad = (-x.shape[axis]) % mult
+    if not pad:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@partial(jax.jit, static_argnames=("scale", "interpret"))
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    scale: float, interpret: bool = False) -> jax.Array:
+    """Fused ``softmax(q @ k^T * scale) @ v``.
+
+    q: (N, heads, L, dh); k, v: (N, heads, L2, dh) -> (N, heads, L, dh),
+    same dtype as ``q`` (f32 softmax/accumulation internally).
+    """
+    n, heads, l, dh = q.shape
+    l2 = k.shape[2]
+    b = n * heads
+
+    dh_lanes = LANES if dh > 64 else (64 if dh > 32 else 32)
+    qf = _pad_to(_pad_to(q.reshape(b, l, dh), 2, dh_lanes), 1, TILE_Q)
+    kf = _pad_to(_pad_to(k.reshape(b, l2, dh), 2, dh_lanes), 1, LANES)
+    vf = _pad_to(_pad_to(v.reshape(b, l2, dh), 2, dh_lanes), 1, LANES)
+    l_pad, dh_pad = qf.shape[1], qf.shape[2]
+    l2_pad = kf.shape[1]
+
+    out = pl.pallas_call(
+        partial(_attn_kernel, scale=scale, l2=l2),
+        grid=(b, l_pad // TILE_Q),
+        in_specs=[
+            pl.BlockSpec((1, TILE_Q, dh_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l2_pad, dh_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l2_pad, dh_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE_Q, dh_pad), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, l_pad, dh_pad), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out[:, :l, :dh].reshape(n, heads, l, dh)

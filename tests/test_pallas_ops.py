@@ -63,3 +63,66 @@ def test_i420_preprocess_kernel_matches_reference_chain(rng):
     want = (rgbf - np.float32(IMAGENET_MEAN_RGB)) / np.float32(IMAGENET_STD_RGB)
     assert got.shape == (46, 62, 3)
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+class TestFlashAttention:
+    """Fused SegFormer attention (ops/pallas_attention.py) vs the einsum
+    reference, including every padding path (dh<128, ragged L and L2)."""
+
+    @staticmethod
+    def _reference(q, k, v, scale):
+        import jax.numpy as jnp
+        import jax
+        s = jnp.einsum("nhld,nhmd->nhlm", q, k) * scale
+        att = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(q.dtype)
+        return jnp.einsum("nhlm,nhmd->nhld", att, v)
+
+    def _case(self, rng, n, heads, l, l2, dh, dtype=np.float32, tol=2e-6):
+        from infur_tpu.ops.pallas_attention import flash_attention
+        q = rng.normal(size=(n, heads, l, dh)).astype(dtype)
+        k = rng.normal(size=(n, heads, l2, dh)).astype(dtype)
+        v = rng.normal(size=(n, heads, l2, dh)).astype(dtype)
+        scale = 1.0 / np.sqrt(dh)
+        got = np.asarray(flash_attention(q, k, v, scale, interpret=True),
+                         np.float32)
+        want = np.asarray(self._reference(q, k, v, scale), np.float32)
+        np.testing.assert_allclose(got, want, atol=tol, rtol=tol)
+
+    def test_segformer_stage_shapes(self, rng):
+        # b0 stage-1-like: 1 head, dh 32, ragged L, small L2
+        self._case(rng, 1, 1, 67 * 93, 9 * 12, 32)
+
+    def test_multi_head_ragged_l2(self, rng):
+        self._case(rng, 2, 4, 300, 130, 32)  # L2 just over one lane tile
+
+    def test_tile_exact_shapes(self, rng):
+        self._case(rng, 1, 2, 512, 128, 64)  # no padding anywhere
+
+    def test_tiny(self, rng):
+        self._case(rng, 1, 1, 5, 3, 8)
+
+    def test_bf16_inputs(self, rng):
+        import jax.numpy as jnp
+        from infur_tpu.ops.pallas_attention import flash_attention
+        q = rng.normal(size=(1, 2, 100, 32))
+        k = rng.normal(size=(1, 2, 30, 32))
+        v = rng.normal(size=(1, 2, 30, 32))
+        qb, kb, vb = (jnp.asarray(a, jnp.bfloat16) for a in (q, k, v))
+        got = np.asarray(flash_attention(qb, kb, vb, 1.0 / np.sqrt(32.0),
+                                         interpret=True), np.float32)
+        want = np.asarray(self._reference(qb, kb, vb, 1.0 / np.sqrt(32.0)),
+                          np.float32)
+        np.testing.assert_allclose(got, want, atol=3e-2, rtol=3e-2)
+
+
+def test_segformer_flash_attention_end_to_end(rng):
+    """The whole model agrees between attention implementations."""
+    import jax
+    from infur_tpu.models.segformer import init_segformer, segformer_apply
+
+    params = init_segformer(jax.random.PRNGKey(0), num_classes=7)
+    x = rng.normal(size=(1, 64, 96, 3)).astype(np.float32)
+    ref = np.asarray(segformer_apply(params, x)["out"])
+    got = np.asarray(segformer_apply(params, x,
+                                     attn_impl="flash_interpret")["out"])
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)

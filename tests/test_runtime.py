@@ -176,3 +176,16 @@ def test_spec_query_on_onnx_overrides_heuristic(tmp_path):
     pp = st._backend.preproc((8, 8))
     assert pp.layout == "NCHW" and pp.channel_order == "bgr"
     assert pp.mean == (0.0, 0.0, 0.0)
+
+
+def test_family_apply_opts_flash():
+    """segformer:b0:flash routes the fused Pallas attention kernel;
+    families without the opt reject it as a typed error."""
+    import pytest
+    from infur_tpu.errors import ModelLoadError
+    from infur_tpu.model_stage import Load, ModelStage
+    st = ModelStage()
+    st.control(Load("segformer:b0:flash"))
+    assert st._backend.apply_kwargs == {"attn_impl": "flash"}
+    with pytest.raises(ModelLoadError):
+        ModelStage().control(Load("lraspp:flash"))
