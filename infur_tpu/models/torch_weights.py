@@ -36,6 +36,8 @@ __all__ = [
     "deeplabv3_resnet50_to_torch_state",
     "lraspp_mobilenet_v3_from_torch_state",
     "lraspp_mobilenet_v3_to_torch_state",
+    "segformer_from_hf_state",
+    "segformer_to_hf_state",
     "load_torch_checkpoint",
     "params_from_torch_checkpoint",
 ]
@@ -84,6 +86,16 @@ class _Reader:
             raise TorchStateDictError(f"missing key {key!r}")
         self.used.add(key)
         return np.ascontiguousarray(_to_np(self.state[key]), dtype=np.float32)
+
+    def ln(self, key: str) -> dict[str, np.ndarray]:
+        """LayerNorm weight/bias -> scale/bias."""
+        return {"scale": self.tensor(key + ".weight"),
+                "bias": self.tensor(key + ".bias")}
+
+    def dense(self, key: str) -> tuple[np.ndarray, np.ndarray]:
+        """torch Linear (out, in) -> our (in, out) + bias."""
+        return (np.transpose(self.tensor(key + ".weight")),
+                self.tensor(key + ".bias"))
 
     def finish(self, what: str) -> None:
         extra = sorted(set(self.state) - self.used)
@@ -218,6 +230,123 @@ def lraspp_mobilenet_v3_from_torch_state(state: Mapping[str, Any]
     return params
 
 
+def segformer_from_hf_state(state: Mapping[str, Any]) -> dict[str, Any]:
+    """HuggingFace ``SegformerForSemanticSegmentation.state_dict()`` -> our
+    params pytree (models/segformer.py layout).
+
+    Geometry (depths, dims, classes) is inferred from the tensors, so any
+    MiT size loads without naming its variant.  Our fused ``kv`` projection
+    is the concatenation of HF's separate key/value Linears; conv weights
+    transpose OIHW -> HWIO; the depthwise dwconv (4d, 1, 3, 3) becomes
+    HWIO (3, 3, 1, 4d).  HF's decode head emits logits at 1/4 resolution —
+    our apply upsamples to input resolution per the family contract, which
+    equals HF + an external half-pixel bilinear resize.
+    """
+    r = _Reader(state)
+    enc = "segformer.encoder"
+    params: dict[str, Any] = {}
+    for s in range(4):
+        pe = f"{enc}.patch_embeddings.{s}"
+        if f"{pe}.proj.weight" not in r.state:
+            raise TorchStateDictError(f"missing stage {s} ({pe}.proj.weight)")
+        stage: dict[str, Any] = {
+            "patch_conv": r.conv(f"{pe}.proj"),
+            "patch_bias": r.tensor(f"{pe}.proj.bias"),
+            "patch_ln": r.ln(f"{pe}.layer_norm"),
+            "blocks": [],
+            "out_ln": r.ln(f"{enc}.layer_norm.{s}"),
+        }
+        j = 0
+        while f"{enc}.block.{s}.{j}.layer_norm_1.weight" in r.state:
+            pre = f"{enc}.block.{s}.{j}"
+            att = f"{pre}.attention"
+            q, q_b = r.dense(f"{att}.self.query")
+            k, k_b = r.dense(f"{att}.self.key")
+            v, v_b = r.dense(f"{att}.self.value")
+            proj, proj_b = r.dense(f"{att}.output.dense")
+            fc1, fc1_b = r.dense(f"{pre}.mlp.dense1")
+            fc2, fc2_b = r.dense(f"{pre}.mlp.dense2")
+            blk: dict[str, Any] = {
+                "ln1": r.ln(f"{pre}.layer_norm_1"),
+                "q": q, "q_b": q_b,
+                "kv": np.concatenate([k, v], axis=1),
+                "kv_b": np.concatenate([k_b, v_b]),
+                "proj": proj, "proj_b": proj_b,
+                "ln2": r.ln(f"{pre}.layer_norm_2"),
+                "fc1": fc1, "fc1_b": fc1_b,
+                "dw": r.conv(f"{pre}.mlp.dwconv.dwconv"),
+                "dw_b": r.tensor(f"{pre}.mlp.dwconv.dwconv.bias"),
+                "fc2": fc2, "fc2_b": fc2_b,
+            }
+            if f"{att}.self.sr.weight" in r.state:
+                blk["sr_conv"] = r.conv(f"{att}.self.sr")
+                blk["sr_bias"] = r.tensor(f"{att}.self.sr.bias")
+                blk["sr_ln"] = r.ln(f"{att}.self.layer_norm")
+            stage["blocks"].append(blk)
+            j += 1
+        params[f"stage{s + 1}"] = stage
+    dec = "decode_head"
+    lin, lin_b = zip(*(r.dense(f"{dec}.linear_c.{s}.proj") for s in range(4)))
+    params["head"] = {
+        "lin": list(lin), "lin_b": list(lin_b),
+        "fuse": r.conv(f"{dec}.linear_fuse"),
+        "fuse_bn": r.bn(f"{dec}.batch_norm"),
+        "cls": r.conv(f"{dec}.classifier"),
+        "cls_b": r.tensor(f"{dec}.classifier.bias"),
+    }
+    r.finish("segformer (HF)")
+    return params
+
+
+def segformer_to_hf_state(params: Mapping[str, Any]) -> dict[str, np.ndarray]:
+    """Inverse of :func:`segformer_from_hf_state` (tests + HF export)."""
+    out: dict[str, np.ndarray] = {}
+    enc = "segformer.encoder"
+
+    def put_dense(key, w, b):
+        out[key + ".weight"] = np.transpose(np.asarray(w))
+        out[key + ".bias"] = np.asarray(b)
+
+    def put_ln(key, p):
+        out[key + ".weight"] = np.asarray(p["scale"])
+        out[key + ".bias"] = np.asarray(p["bias"])
+
+    for s in range(4):
+        st = params[f"stage{s + 1}"]
+        pe = f"{enc}.patch_embeddings.{s}"
+        _put_conv(out, f"{pe}.proj", st["patch_conv"])
+        out[f"{pe}.proj.bias"] = np.asarray(st["patch_bias"])
+        put_ln(f"{pe}.layer_norm", st["patch_ln"])
+        put_ln(f"{enc}.layer_norm.{s}", st["out_ln"])
+        for j, blk in enumerate(st["blocks"]):
+            pre = f"{enc}.block.{s}.{j}"
+            att = f"{pre}.attention"
+            put_ln(f"{pre}.layer_norm_1", blk["ln1"])
+            put_dense(f"{att}.self.query", blk["q"], blk["q_b"])
+            d = np.asarray(blk["kv"]).shape[0]
+            put_dense(f"{att}.self.key", blk["kv"][:, :d], blk["kv_b"][:d])
+            put_dense(f"{att}.self.value", blk["kv"][:, d:], blk["kv_b"][d:])
+            put_dense(f"{att}.output.dense", blk["proj"], blk["proj_b"])
+            if "sr_conv" in blk:
+                _put_conv(out, f"{att}.self.sr", blk["sr_conv"])
+                out[f"{att}.self.sr.bias"] = np.asarray(blk["sr_bias"])
+                put_ln(f"{att}.self.layer_norm", blk["sr_ln"])
+            put_ln(f"{pre}.layer_norm_2", blk["ln2"])
+            put_dense(f"{pre}.mlp.dense1", blk["fc1"], blk["fc1_b"])
+            _put_conv(out, f"{pre}.mlp.dwconv.dwconv", blk["dw"])
+            out[f"{pre}.mlp.dwconv.dwconv.bias"] = np.asarray(blk["dw_b"])
+            put_dense(f"{pre}.mlp.dense2", blk["fc2"], blk["fc2_b"])
+    head = params["head"]
+    dec = "decode_head"
+    for s in range(4):
+        put_dense(f"{dec}.linear_c.{s}.proj", head["lin"][s], head["lin_b"][s])
+    _put_conv(out, f"{dec}.linear_fuse", head["fuse"])
+    _put_bn(out, f"{dec}.batch_norm", head["fuse_bn"])
+    _put_conv(out, f"{dec}.classifier", head["cls"])
+    out[f"{dec}.classifier.bias"] = np.asarray(head["cls_b"])
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Inverse direction (params pytree -> torch-style state dict)
 # ---------------------------------------------------------------------------
@@ -333,6 +462,7 @@ _FROM_TORCH = {
     "deeplabv3_resnet50": deeplabv3_resnet50_from_torch_state,
     "lraspp": lraspp_mobilenet_v3_from_torch_state,
     "lraspp_mobilenet_v3_large": lraspp_mobilenet_v3_from_torch_state,
+    "segformer": segformer_from_hf_state,
 }
 
 
@@ -350,7 +480,8 @@ def load_torch_checkpoint(path: str) -> dict[str, np.ndarray]:
 
 def looks_like_torch_state(flat: Mapping[str, Any]) -> bool:
     return ("backbone.conv1.weight" in flat        # ResNet backbones
-            or "backbone.0.0.weight" in flat)      # MobileNetV3 backbone
+            or "backbone.0.0.weight" in flat       # MobileNetV3 backbone
+            or "segformer.encoder.patch_embeddings.0.proj.weight" in flat)
 
 
 def params_from_torch_checkpoint(family: str, path: str) -> dict[str, Any]:

@@ -82,3 +82,64 @@ def test_onnx_export_three_way_parity():
     assert np.abs(oracle - want).max() / scale < 1e-4
     got = np.asarray(import_model(model)({"input": nchw})["out"])
     assert np.abs(got - want).max() / scale < 1e-4
+
+
+class TestHuggingFaceParity:
+    """Independent semantic ground truth for the SegFormer family: the
+    HuggingFace transformers implementation (in-env, random-init — no
+    network), connected via the segformer_from_hf_state name mapping.
+    Real zoo weights (nvidia/segformer-*) drop in the moment a file
+    exists ('segformer@file' specs)."""
+
+    @staticmethod
+    def _hf_model(num_labels=7):
+        import torch
+        from transformers import (
+            SegformerConfig, SegformerForSemanticSegmentation,
+        )
+        torch.manual_seed(0)
+        cfg = SegformerConfig(num_labels=num_labels)  # defaults = MiT-b0
+        m = SegformerForSemanticSegmentation(cfg).eval()
+        return m
+
+    def test_forward_matches_hf(self, rng):
+        import torch
+        from infur_tpu.models.segformer import segformer_apply
+        from infur_tpu.models.torch_weights import segformer_from_hf_state
+
+        m = self._hf_model()
+        params = segformer_from_hf_state(m.state_dict())
+        x = rng.normal(size=(1, 64, 96, 3)).astype(np.float32)
+        with torch.no_grad():
+            hf_quarter = m(torch.from_numpy(
+                x.transpose(0, 3, 1, 2))).logits  # (1, K, H/4, W/4)
+            hf = torch.nn.functional.interpolate(
+                hf_quarter, size=(64, 96), mode="bilinear",
+                align_corners=False).numpy()
+        ours = np.asarray(segformer_apply(params, x)["out"])
+        np.testing.assert_allclose(ours, hf, atol=2e-4, rtol=2e-4)
+
+    def test_state_round_trip_exact(self):
+        from infur_tpu.models.torch_weights import (
+            segformer_from_hf_state, segformer_to_hf_state,
+        )
+        m = self._hf_model()
+        state = {k: v.numpy() for k, v in m.state_dict().items()}
+        params = segformer_from_hf_state(state)
+        back = segformer_to_hf_state(params)
+        assert set(back) == set(state)
+        for k in state:
+            np.testing.assert_array_equal(np.asarray(back[k], np.float32),
+                                          np.asarray(state[k], np.float32),
+                                          err_msg=k)
+
+    def test_model_stage_loads_hf_npz(self, tmp_path):
+        """segformer@hf.npz: the checkpoint path end to end."""
+        from infur_tpu.model_stage import Load, ModelStage
+        m = self._hf_model(num_labels=3)
+        state = {k: v.numpy() for k, v in m.state_dict().items()}
+        p = tmp_path / "hf_segformer.npz"
+        np.savez(p, **state)
+        st = ModelStage()
+        st.control(Load(f"segformer@{p}"))
+        assert st._backend.params["head"]["cls_b"].shape == (3,)
