@@ -60,6 +60,8 @@ def cmd_play(args: argparse.Namespace) -> int:
 
     if args.out:
         os.makedirs(args.out, exist_ok=True)
+    vid_writer = None       # lazily opened on the first frame (dims unknown)
+    vid_warned = False
     counter = FrameCounter()
     n = 0
     exit_code = 0
@@ -103,6 +105,23 @@ def cmd_play(args: argparse.Namespace) -> int:
                     else frame.buffer
                 _save_png(f"{args.out}/frame_{frame.id:06d}.png",
                           np.asarray(img))
+            if args.out_video:
+                img = np.asarray(frame.composited
+                                 if frame.composited is not None
+                                 else frame.buffer)
+                bgr = np.ascontiguousarray(img[:, :, 2::-1])  # RGBA -> BGR
+                if vid_writer is None:
+                    from infur_tpu.video.rvf import RvfWriter
+                    h, w = bgr.shape[:2]
+                    vid_writer = RvfWriter(args.out_video, w, h, fps=30)
+                if bgr.shape == (vid_writer._hdr.height,
+                                 vid_writer._hdr.width, 3):
+                    vid_writer.write_frame(bgr)
+                elif not vid_warned:
+                    vid_warned = True
+                    print("warning: frame size changed mid-run; "
+                          "--out-video keeps the initial geometry "
+                          "(mismatched frames skipped)", file=sys.stderr)
             if args.stats and (stats := counter.stats()) is not None:
                 print(f"fps {stats.shown_fps:6.1f} shown "
                       f"{stats.received_fps:6.1f} recv "
@@ -110,6 +129,8 @@ def cmd_play(args: argparse.Namespace) -> int:
             _drain_ctrl(handle, args, state)
     finally:
         handle.stop()
+        if vid_writer is not None:
+            vid_writer.close()
     # persist settings on clean shutdown (the reference saves ProcConfig on
     # close, gui.rs:349-352): always when a config file is in play, or to
     # the default location with --save-config
@@ -215,6 +236,9 @@ def main(argv: list[str] | None = None) -> int:
     play.add_argument("--scale", type=float, default=None)
     play.add_argument("--max-frames", type=int, default=10 ** 9)
     play.add_argument("--out", default=None, help="PNG output directory")
+    play.add_argument("--out-video", default=None,
+                      help="write composited frames to an .rvf video "
+                      "(replayable: python -m infur_tpu play out.rvf)")
     play.add_argument("--stats", action="store_true")
     play.add_argument("--config", default=None, help="JSON config path")
     play.add_argument("--save-config", action="store_true")
