@@ -114,6 +114,20 @@ def evaluate(apply_fn: ApplyFn, params: Any,
     }
 
 
+def poly_schedule(base_lr: float, total_steps: int, warmup_steps: int = 0,
+                  power: float = 0.9, end_lr: float = 0.0):
+    """The segmentation-standard "poly" LR schedule (linear warmup then
+    ``(1 - t/T)^power`` decay — the schedule both the SegFormer paper and
+    torchvision's segmentation reference training use)."""
+    decay = optax.polynomial_schedule(
+        init_value=base_lr, end_value=end_lr, power=power,
+        transition_steps=max(total_steps - warmup_steps, 1))
+    if not warmup_steps:
+        return decay
+    warmup = optax.linear_schedule(0.0, base_lr, warmup_steps)
+    return optax.join_schedules([warmup, decay], [warmup_steps])
+
+
 def make_train_step(apply_fn: ApplyFn, tx: optax.GradientTransformation,
                     aux_weight: float = 0.4, loss_fn=None):
     """A jitted (params, opt_state, x, y) -> (params, opt_state, loss).
@@ -139,10 +153,19 @@ def finetune(apply_fn: ApplyFn, params: Any,
              weight_decay: float = 1e-4,
              checkpoint_path: str | None = None,
              checkpoint_every: int = 100,
-             log_every: int = 10, loss_fn=None) -> tuple[Any, list[float]]:
+             log_every: int = 10, loss_fn=None,
+             lr_schedule: str = "constant",
+             warmup_steps: int = 0) -> tuple[Any, list[float]]:
     """Run ``steps`` optimizer steps over ``data`` (an iterable of
-    (x_nhwc f32, labels_nhw i32) batches); returns (params, loss history)."""
-    tx = optax.adamw(learning_rate, weight_decay=weight_decay)
+    (x_nhwc f32, labels_nhw i32) batches); returns (params, loss history).
+    ``lr_schedule="poly"`` uses :func:`poly_schedule` over ``steps``."""
+    if lr_schedule == "poly":
+        lr = poly_schedule(learning_rate, steps, warmup_steps)
+    elif lr_schedule == "constant":
+        lr = learning_rate
+    else:
+        raise ValueError(f"unknown lr_schedule {lr_schedule!r}")
+    tx = optax.adamw(lr, weight_decay=weight_decay)
     opt_state = tx.init(params)
     step = make_train_step(apply_fn, tx, loss_fn=loss_fn)
     losses: list[float] = []

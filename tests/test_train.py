@@ -123,3 +123,28 @@ def test_evaluate_matches_jit_metrics(rng):
     m = segmentation_metrics(logits, y, num_classes=5)
     assert abs(out["pixel_acc"] - float(m["pixel_acc"])) < 1e-6
     assert abs(out["miou"] - float(m["miou"])) < 1e-5
+
+
+def test_poly_schedule_shape():
+    """Warmup ramps 0 -> base; decay follows (1 - t/T)^0.9 to ~0."""
+    from infur_tpu.train import poly_schedule
+    sched = poly_schedule(1e-2, total_steps=100, warmup_steps=10)
+    assert float(sched(0)) == 0.0
+    assert abs(float(sched(10)) - 1e-2) < 1e-9
+    mid = float(sched(55))          # halfway through decay
+    assert 0 < mid < 1e-2
+    assert abs(mid - 1e-2 * 0.5 ** 0.9) < 1e-5
+    assert float(sched(100)) < 1e-6
+
+
+def test_finetune_with_poly_schedule(tiny_task):
+    """finetune(lr_schedule="poly") optimizes the learnable blob task."""
+    x, y = tiny_task
+    params = init_fcn_resnet50(jax.random.PRNGKey(2), num_classes=4,
+                               aux=False)
+    _, losses = finetune(
+        lambda p, xx: fcn_resnet50_apply(p, xx), params,
+        data=iter(lambda: (x, y), None), steps=8,
+        learning_rate=2e-3, lr_schedule="poly", warmup_steps=2,
+        log_every=1)
+    assert losses[-1] < losses[0]
