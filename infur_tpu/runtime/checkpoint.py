@@ -66,6 +66,42 @@ def load_params(path: str) -> Any:
         return _unflatten({k: z[k] for k in z.files})
 
 
+# -- resumable train state (params + optimizer state + step) ---------------
+
+def save_train_state(path: str, params: Any, opt_state: Any,
+                     step: int = 0) -> None:
+    """One ``.npz`` holding params (named pytree paths), the optimizer
+    state's leaves (positional — optax states are namedtuples whose
+    structure comes from ``tx.init``), and the step counter."""
+    import jax
+    flat = {f"params/{k}": v for k, v in _flatten(params).items()}
+    for i, leaf in enumerate(jax.tree.leaves(opt_state)):
+        flat[f"opt/{i}"] = np.asarray(leaf)
+    flat["step"] = np.asarray(step, np.int64)
+    np.savez(path, **flat)
+
+
+def load_train_state(path: str, tx: Any) -> tuple[Any, Any, int]:
+    """Restore (params, opt_state, step).  ``tx`` (the same optax
+    transformation) provides the opt-state treedef via ``tx.init``."""
+    import jax
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    params = _unflatten({k[len("params/"):]: v for k, v in flat.items()
+                         if k.startswith("params/")})
+    n = sum(1 for k in flat if k.startswith("opt/"))
+    leaves = [flat[f"opt/{i}"] for i in range(n)]
+    template = tx.init(params)
+    treedef = jax.tree.structure(template)
+    want = treedef.num_leaves
+    if want != n:
+        raise ValueError(
+            f"optimizer state mismatch: checkpoint has {n} leaves, "
+            f"tx.init produces {want} (different optimizer?)")
+    opt_state = jax.tree.unflatten(treedef, leaves)
+    return params, opt_state, int(flat["step"])
+
+
 # -- orbax backend: sharded/async checkpoints for multi-chip params --------
 
 def save_params_orbax(path: str, params: Any) -> None:

@@ -155,10 +155,19 @@ def finetune(apply_fn: ApplyFn, params: Any,
              checkpoint_every: int = 100,
              log_every: int = 10, loss_fn=None,
              lr_schedule: str = "constant",
-             warmup_steps: int = 0) -> tuple[Any, list[float]]:
+             warmup_steps: int = 0,
+             state_path: str | None = None,
+             resume: bool = False) -> tuple[Any, list[float]]:
     """Run ``steps`` optimizer steps over ``data`` (an iterable of
     (x_nhwc f32, labels_nhw i32) batches); returns (params, loss history).
-    ``lr_schedule="poly"`` uses :func:`poly_schedule` over ``steps``."""
+
+    ``lr_schedule="poly"`` uses :func:`poly_schedule` over ``steps``.
+    ``checkpoint_path`` saves params-only (loadable via ``family@ckpt``).
+    ``state_path`` saves the FULL train state (params + optimizer state +
+    step) at the same cadence; with ``resume=True`` an existing state file
+    is loaded and training continues from its step up to ``steps`` total —
+    the schedule, Adam moments and counts all pick up where they left off.
+    """
     if lr_schedule == "poly":
         lr = poly_schedule(learning_rate, steps, warmup_steps)
     elif lr_schedule == "constant":
@@ -166,12 +175,33 @@ def finetune(apply_fn: ApplyFn, params: Any,
     else:
         raise ValueError(f"unknown lr_schedule {lr_schedule!r}")
     tx = optax.adamw(lr, weight_decay=weight_decay)
-    opt_state = tx.init(params)
+    start = 0
+    if resume:
+        if not state_path:
+            raise ValueError("resume=True needs state_path")
+        import os
+        if os.path.exists(state_path):
+            from infur_tpu.runtime.checkpoint import load_train_state
+            params, opt_state, start = load_train_state(state_path, tx)
+            log.info("resumed from %s at step %d", state_path, start)
+        else:
+            opt_state = tx.init(params)
+    else:
+        opt_state = tx.init(params)
     step = make_train_step(apply_fn, tx, loss_fn=loss_fn)
     losses: list[float] = []
     it = iter(data)
+
+    def save_ckpts(i: int) -> None:
+        from infur_tpu.runtime.checkpoint import save_params, save_train_state
+        if checkpoint_path:
+            save_params(checkpoint_path, jax.device_get(params))
+        if state_path:
+            save_train_state(state_path, jax.device_get(params),
+                             jax.device_get(opt_state), step=i)
+
     t0 = time.perf_counter()
-    for i in range(steps):
+    for i in range(start, steps):
         x, y = next(it)
         params, opt_state, loss = step(params, opt_state, x, y)
         if (i + 1) % log_every == 0 or i == steps - 1:
@@ -179,10 +209,8 @@ def finetune(apply_fn: ApplyFn, params: Any,
             losses.append(lv)
             log.info("step %d/%d loss %.4f (%.2f s)", i + 1, steps, lv,
                      time.perf_counter() - t0)
-        if checkpoint_path and (i + 1) % checkpoint_every == 0:
-            from infur_tpu.runtime.checkpoint import save_params
-            save_params(checkpoint_path, jax.device_get(params))
-    if checkpoint_path:
-        from infur_tpu.runtime.checkpoint import save_params
-        save_params(checkpoint_path, jax.device_get(params))
+        if (i + 1) % checkpoint_every == 0:
+            save_ckpts(i + 1)
+    if checkpoint_path or state_path:
+        save_ckpts(steps)
     return params, losses

@@ -148,3 +148,36 @@ def test_finetune_with_poly_schedule(tiny_task):
         learning_rate=2e-3, lr_schedule="poly", warmup_steps=2,
         log_every=1)
     assert losses[-1] < losses[0]
+
+
+def test_train_state_resume_bitexact(tiny_task, tmp_path):
+    """An interrupted 8-step run resumed from its step-4 state checkpoint
+    ends bit-identical to an uninterrupted run (Adam moments, poly-schedule
+    count and step all survive the round trip)."""
+    import jax
+    x, y = tiny_task
+    sp = str(tmp_path / "state.npz")
+    fn = lambda pp, xx: fcn_resnet50_apply(pp, xx)
+
+    def fresh():
+        return init_fcn_resnet50(jax.random.PRNGKey(3), num_classes=4,
+                                 aux=False)
+
+    def batches(n):
+        for _ in range(n):
+            yield x, y
+        raise KeyboardInterrupt  # simulated crash mid-run
+
+    straight, _ = finetune(fn, fresh(), data=iter(lambda: (x, y), None),
+                           steps=8, learning_rate=1e-3, lr_schedule="poly",
+                           log_every=100)
+    with pytest.raises(KeyboardInterrupt):  # dies at step 4; state saved
+        finetune(fn, fresh(), data=batches(4), steps=8, learning_rate=1e-3,
+                 lr_schedule="poly", log_every=100,
+                 state_path=sp, resume=False, checkpoint_every=4)
+    resumed, _ = finetune(fn, fresh(), data=iter(lambda: (x, y), None),
+                          steps=8, learning_rate=1e-3, lr_schedule="poly",
+                          log_every=100, state_path=sp, resume=True,
+                          checkpoint_every=100)
+    for a, b in zip(jax.tree.leaves(straight), jax.tree.leaves(resumed)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
