@@ -238,6 +238,36 @@ def quantize_static(model: ModelProto,
                 skip.add(node_index[id(relu)])
             continue
 
+        if op == "MatMul" and len(node.input) == 2 \
+                and node.input[1] in inits and inits[node.input[1]].ndim == 2 \
+                and (node.input[0] in qmap or node.input[0] in ranges) \
+                and node.output[0] in ranges:
+            # dense layer (activation @ 2-D initializer weight), the bulk
+            # of a transformer's FLOPs: QLinearMatMul with per-tensor
+            # symmetric s8 weights (ort's QLinearMatMul default; the
+            # importer's int8-operand MXU path needs b_zp == 0).
+            # Activation @ activation matmuls (attention scores/context)
+            # stay f32 — standard static-quantization practice.
+            xq, xp = ensure_q(node.input[0])
+            w = inits[node.input[1]]
+            w_scale = np.float32(max(float(np.abs(w).max()) / 127.0, 1e-12))
+            wq = np.clip(np.rint(w / w_scale), -127, 127).astype(np.int8)
+            yp = _qparam(*ranges[node.output[0]])
+            yname = node.output[0]
+            qy = fresh(yname + "_q")
+            ins = [xq,
+                   add_init(qy + "_xs", np.float32(xp.scale)),
+                   add_init(qy + "_xz", np.uint8(xp.zero_point)),
+                   add_init(fresh(node.input[1] + "_q"), wq),
+                   add_init(qy + "_ws", w_scale),
+                   add_init(qy + "_wz", np.int8(0)),
+                   add_init(qy + "_ys", np.float32(yp.scale)),
+                   add_init(qy + "_yz", np.uint8(yp.zero_point))]
+            nodes.append(make_node("QLinearMatMul", ins, [qy],
+                                   name=fresh("qmatmul")))
+            qmap[yname] = (qy, yp)
+            continue
+
         if op in _Q_PASSTHROUGH and (node.input[0] in qmap
                                      or node.input[0] in ranges):
             xq, xp = ensure_q(node.input[0])

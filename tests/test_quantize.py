@@ -303,3 +303,34 @@ def test_int8_lraspp_end_to_end_bit_exact(rng):
                                              (0, 2, 3, 1))))["out"])
     agree = (np.argmax(oracle, axis=1) == np.argmax(f32, axis=1)).mean()
     assert agree > 0.9, agree
+
+
+def test_int8_segformer_transformer_graph(rng):
+    """Static quantization of the exported SegFormer graph: every dense
+    (activation @ weight) MatMul becomes QLinearMatMul — the bulk of a
+    transformer's FLOPs in int8 — while the 16 activation-activation
+    attention matmuls (2 per block) stay f32, standard practice.  Oracle
+    and importer agree bit-exactly on the quantized graph."""
+    import jax
+    from infur_tpu.models.segformer import init_segformer, segformer_to_onnx
+    from infur_tpu.onnx import import_model, run_model
+    from infur_tpu.onnx.quantize import quantize_static
+
+    p = init_segformer(jax.random.PRNGKey(0), num_classes=5)
+    model = segformer_to_onnx(p, (32, 32))
+    feeds = [{"input": rng.normal(size=(1, 3, 32, 32)).astype(np.float32)}
+             for _ in range(2)]
+    qm = quantize_static(model, feeds)
+    ops = {}
+    for n in qm.graph.node:
+        ops[n.op_type] = ops.get(n.op_type, 0) + 1
+    assert ops["QLinearMatMul"] == 44      # 60 total - 16 act@act
+    assert ops["MatMul"] == 16
+    assert ops["QLinearConv"] == 20        # patch embeds, sr convs, dwconvs
+
+    out_q = run_model(qm, feeds[0])["out"]
+    out_j = np.asarray(import_model(qm)({"input": feeds[0]["input"]})["out"])
+    np.testing.assert_array_equal(out_q, out_j)  # executors bit-exact
+    out_f = run_model(model, feeds[0])["out"]
+    agree = (out_f.argmax(1) == out_q.argmax(1)).mean()
+    assert agree > 0.75, f"int8 mask diverged too far: {agree}"
