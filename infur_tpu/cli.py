@@ -205,6 +205,43 @@ def cmd_view(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_eval(args: argparse.Namespace) -> int:
+    """Segmentation metrics (mIoU / pixel accuracy) for a model over a
+    labeled dataset: one or more ``.npz`` files with ``x`` (N, H, W, 3
+    float32, model-ready) and ``y`` (N, H, W int; -1 = void)."""
+    import glob
+
+    from infur_tpu.model_stage import Load, ModelStage
+    from infur_tpu.train import evaluate
+
+    paths: list[str] = []
+    for p in args.data:
+        paths.extend(sorted(glob.glob(p)) if any(c in p for c in "*?[") else [p])
+    if not paths:
+        print("error: no data files matched", file=sys.stderr)
+        return 2
+    stage = ModelStage()
+    try:
+        stage.control(Load(args.model))
+    except InfurError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    backend = stage._backend
+
+    def batches():
+        for p in paths:
+            with np.load(p) as z:
+                x, y = z["x"], z["y"]
+            for i in range(0, len(x), args.batch):
+                yield (x[i:i + args.batch].astype(np.float32),
+                       y[i:i + args.batch].astype(np.int32))
+
+    out = evaluate(lambda _p, xx: backend(xx), None, batches(),
+                   num_classes=args.num_classes)
+    print(f"pixel_acc {out['pixel_acc']:.4f}  miou {out['miou']:.4f}")
+    return 0
+
+
 def cmd_testgen(args: argparse.Namespace) -> int:
     from infur_tpu.testgen import generate
     h, w = (int(v) for v in args.model_size.split("x"))
@@ -266,6 +303,14 @@ def main(argv: list[str] | None = None) -> int:
                       help="model-input rounding multiple (the slider "
                       "would otherwise compile per position; 0 disables)")
     view.set_defaults(fn=cmd_view)
+
+    ev = sub.add_parser("eval", help="mIoU/pixel-acc over labeled .npz data")
+    ev.add_argument("model", help="model spec (family or .onnx)")
+    ev.add_argument("data", nargs="+",
+                    help=".npz files (x: N,H,W,3 f32; y: N,H,W int) or globs")
+    ev.add_argument("--batch", type=int, default=8)
+    ev.add_argument("--num-classes", type=int, default=None)
+    ev.set_defaults(fn=cmd_eval)
 
     tg = sub.add_parser("testgen", help="generate test fixtures "
                         "(videos + f32/int8 FCN models)")

@@ -96,6 +96,10 @@ def evaluate(apply_fn: ApplyFn, params: Any,
     fwd = jax.jit(lambda p, x: apply_fn(p, x)["out"])
     for x, y in data:
         logits = fwd(params, x)
+        if k is not None and logits.shape[1] != k:
+            raise ValueError(
+                f"num_classes={k} but the model emits {logits.shape[1]} "
+                "channels — evaluate over the model's own class count")
         k = k or logits.shape[1]
         pred = np.asarray(jnp.argmax(logits, axis=1))
         yv = np.asarray(y)

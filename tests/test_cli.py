@@ -36,3 +36,14 @@ def test_play_png_sink_and_config_save(tmp_path):
     assert cfg.exists()  # persisted on clean shutdown (gui.rs:349-352)
     import json
     assert json.loads(cfg.read_text())["scale"] == 0.5
+
+
+def test_eval_subcommand(tmp_path, capsys, rng):
+    d = tmp_path / "val.npz"
+    x = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    y = rng.integers(-1, 21, size=(2, 32, 32)).astype(np.int32)
+    np.savez(d, x=x, y=y)
+    rc = main(["eval", "lraspp", str(d), "--batch", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "miou" in out and "pixel_acc" in out
