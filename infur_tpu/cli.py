@@ -53,7 +53,12 @@ def cmd_play(args: argparse.Namespace) -> int:
         print("error: no video input (give one or use --config)", file=sys.stderr)
         return 2
 
+    import contextlib
+
     from infur_tpu.app import ProcessingApp
+    from infur_tpu.runtime.trace import profile_trace
+    prof_ctx = profile_trace(args.profile) if args.profile \
+        else contextlib.nullcontext()
     handle = start_proc(ProcessingApp(model_bucket=cfg.model_bucket))
     for cmd in cfg.commands():
         handle.send(cmd)
@@ -69,6 +74,7 @@ def cmd_play(args: argparse.Namespace) -> int:
     # --timeout is an IDLE timeout: the longest gap between frames
     # (refreshed on every frame, so long runs and slow compiles both work)
     deadline = time.monotonic() + args.timeout
+    prof_ctx.__enter__()  # --profile: jax.profiler trace around the run
     try:
         while n < args.max_frames:
             try:
@@ -128,6 +134,7 @@ def cmd_play(args: argparse.Namespace) -> int:
                       f"{stats.drops:5.1f} drop", flush=True)
             _drain_ctrl(handle, args, state)
     finally:
+        prof_ctx.__exit__(None, None, None)
         handle.stop()
         if vid_writer is not None:
             vid_writer.close()
@@ -276,6 +283,9 @@ def main(argv: list[str] | None = None) -> int:
     play.add_argument("--out-video", default=None,
                       help="write composited frames to an .rvf video "
                       "(replayable: python -m infur_tpu play out.rvf)")
+    play.add_argument("--profile", default=None, metavar="DIR",
+                      help="capture a jax.profiler device trace of the run "
+                      "(TensorBoard format) into DIR")
     play.add_argument("--stats", action="store_true")
     play.add_argument("--config", default=None, help="JSON config path")
     play.add_argument("--save-config", action="store_true")

@@ -47,3 +47,12 @@ def test_eval_subcommand(tmp_path, capsys, rng):
     assert rc == 0
     out = capsys.readouterr().out
     assert "miou" in out and "pixel_acc" in out
+
+
+def test_play_profile_capture(tmp_path):
+    prof = tmp_path / "trace"
+    rc = main(["play", "synth:32x24@10:2f", "--max-frames", "2",
+               "--profile", str(prof), "--timeout", "60"])
+    assert rc == 0
+    assert any(prof.rglob("*.pb")) or any(prof.rglob("*.trace*")) \
+        or any(prof.iterdir())  # profiler wrote something
