@@ -55,13 +55,17 @@ input[type=text]{width:24rem;background:#222;color:#dde;border:1px solid #444}
  <label>scale <input type=range id=scale min=0.1 max=1.0 step=0.01>
  <span id=scaleval></span></label></div>
 <div class=row><input type=text id=video placeholder="video input">
- <button onclick="cmd({video:[document.getElementById('video').value]})">play</button></div>
+ <button onclick="cmd({video:[document.getElementById('video').value]})">play</button>
+ <input type=file id=imgfile accept="image/*" style="color:#889"
+  onchange="upimg(this.files[0])"></div>
 <div class=row><input type=text id=model placeholder="model (.onnx | fcn_resnet50)">
  <button onclick="cmd({model:document.getElementById('model').value})">load</button></div>
 <div class=row id=stats></div><div class=row id=status></div>
 <div class=row id=errors></div>
 <script>
 async function cmd(c){await fetch('/cmd',{method:'POST',body:JSON.stringify(c)})}
+async function upimg(f){if(f)await fetch('/image',{method:'POST',
+ headers:{'Content-Type':f.type||'image/png'},body:f})}
 // a dropped MJPEG connection freezes the <img>; reconnect with backoff
 document.getElementById('frame').onerror=()=>setTimeout(()=>{
   document.getElementById('frame').src='/stream?'+Date.now()},1000);
@@ -341,7 +345,7 @@ def make_handler(state: ViewerState):
                     state.stream_clients -= 1
 
         def do_POST(self):
-            if self.path != "/cmd":
+            if self.path not in ("/cmd", "/image"):
                 self._send(404, b"not found", "text/plain")
                 return
             # reject cross-origin browser posts (drive-by command injection);
@@ -352,6 +356,9 @@ def make_handler(state: ViewerState):
                 self._send(403, b"cross-origin commands rejected", "text/plain")
                 return
             n = int(self.headers.get("Content-Length", 0))
+            if self.path == "/image":
+                self._image_upload(n)
+                return
             try:
                 cmd = json.loads(self.rfile.read(n) or b"{}")
                 if not isinstance(cmd, dict):
@@ -360,6 +367,27 @@ def make_handler(state: ViewerState):
                 self._send(200, b"ok", "text/plain")
             except Exception as e:  # malformed shapes answer 400, not EOF
                 self._send(400, f"bad command: {e}".encode(), "text/plain")
+
+        def _image_upload(self, n: int) -> None:
+            """POST /image: raw image bytes -> temp file -> Play([file])
+            (the still-image source, video/image.py: one frame, retained)."""
+            if not 0 < n <= 32 << 20:
+                self._send(413, b"image too large (32 MB cap)", "text/plain")
+                return
+            import tempfile
+            ctype = self.headers.get("Content-Type", "image/png")
+            ext = {"image/jpeg": ".jpg", "image/webp": ".webp",
+                   "image/bmp": ".bmp"}.get(ctype.split(";")[0], ".png")
+            body = self.rfile.read(n)
+            f = tempfile.NamedTemporaryFile(prefix="infur_upload_",
+                                            suffix=ext, delete=False)
+            with f:
+                f.write(body)
+            try:
+                state.apply_cmd({"video": [f.name]})
+                self._send(200, b"ok", "text/plain")
+            except Exception as e:
+                self._send(400, f"bad image: {e}".encode(), "text/plain")
 
     return Handler
 

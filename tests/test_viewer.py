@@ -5,6 +5,8 @@ import threading
 import time
 import urllib.request
 
+import numpy as np
+
 import pytest
 
 from infur_tpu.runtime.config import ProcConfig
@@ -257,3 +259,33 @@ def test_stream_client_cap(viewer_url):
             time.sleep(0.2)
     else:
         raise AssertionError("slot never freed after disconnect")
+
+
+def test_image_upload_plays_still(viewer_url, tmp_path, rng):
+    """POST /image: uploaded bytes become a still-image Play; the frame
+    geometry follows the uploaded image."""
+    import io
+
+    from PIL import Image
+    bgr = rng.integers(0, 255, (20, 30, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(bgr[:, :, ::-1], "RGB").save(buf, format="PNG")
+    req = urllib.request.Request(
+        viewer_url + "/image", data=buf.getvalue(), method="POST",
+        headers={"Content-Type": "image/png"})
+    assert urllib.request.urlopen(req, timeout=5).status == 200
+    # the still displays: frame.png takes the uploaded image's geometry
+    # (after its single frame, EOF retains it — video/image.py)
+    deadline = time.time() + 10
+    size = None
+    while time.time() < deadline:
+        try:
+            png = _get(viewer_url, "/frame.png")
+        except urllib.error.HTTPError:
+            time.sleep(0.2)
+            continue
+        size = Image.open(io.BytesIO(png)).size
+        if size == (30, 20):
+            break
+        time.sleep(0.2)
+    assert size == (30, 20)
