@@ -11,8 +11,11 @@ TPU-native ingest: frames travel in decode-native planar YUV420 (1.5 B/px
 into the preprocess by XLA.  The relay transport is the binding constraint
 (~45 MB/s combined, BENCH_NOTES.md), so the D2H payload is packed:
 
-  confq (default): class mask u8 at model res + confidence u8 at QUARTER
-      resolution (device 2x2 mean) -> 1.25 B/px (was 2 B/px in round 1)
+  confq6 (default): class mask bit-packed 4 pixels -> 3 bytes (6-bit ids,
+      21 < 64 — LOSSLESS) + confidence u8 at QUARTER resolution (device
+      2x2 mean) -> 1.0 B/px with confq's exact fidelity
+  confq: class mask u8 at model res + quarter-res confidence u8
+      -> 1.25 B/px (round-2 default before confq6)
   p53:  5-bit class + 3-bit confidence in ONE byte -> 1 B/px
       (INFUR_BENCH_PACK=p53; 8 alpha levels -> visible banding)
   full: round-1 payload (mask u8 + conf u8), INFUR_BENCH_PACK=full
@@ -42,7 +45,7 @@ BATCH = int(os.environ.get("INFUR_BENCH_BATCH", "8"))
 N_FIXTURE = 16
 MEASURE_BATCHES = max(48 // BATCH, 3)
 ROUNDS = int(os.environ.get("INFUR_BENCH_ROUNDS", "5"))
-PACK = os.environ.get("INFUR_BENCH_PACK", "confq")  # confq | p53 | full
+PACK = os.environ.get("INFUR_BENCH_PACK", "confq6")  # confq6|confq|p53|full
 DEPTH = int(os.environ.get("INFUR_BENCH_DEPTH", "1"))  # batches in flight
 NUM_CLASSES_PAD = 32  # argmax yields < 21; p53 unpack can surface 5 bits
 
@@ -126,7 +129,7 @@ def main() -> int:
             # one byte per pixel: class in the high 5 bits (21 < 32), conf's
             # top 3 bits below
             return ((mask << 3) | (conf >> 5),)
-        if PACK == "confq":
+        if PACK in ("confq", "confq6"):
             # conf at quarter resolution (device 2x2 mean), flattened and
             # concatenated with the mask into ONE buffer: a single D2H
             # fetch per batch instead of two (~25 ms fixed cost each,
@@ -134,8 +137,17 @@ def main() -> int:
             b = conf.shape[0]
             c4 = conf.reshape(b, oh // 2, 2, ow // 2, 2).astype(jnp.uint16)
             confq = (c4.sum(axis=(2, 4)) // 4).astype(jnp.uint8)
-            packed = jnp.concatenate(
-                [mask.reshape(b, -1), confq.reshape(b, -1)], axis=1)
+            m = mask.reshape(b, -1)
+            if PACK == "confq6":
+                # LOSSLESS 6-bit ids (21 < 64): 4 pixels -> 3 bytes, pure
+                # u8 shifts (no int64 on this platform)
+                q = m.reshape(b, -1, 4)
+                m = jnp.stack([
+                    q[..., 0] | (q[..., 1] << 6),
+                    (q[..., 1] >> 2) | (q[..., 2] << 4),
+                    (q[..., 2] >> 4) | (q[..., 3] << 2),
+                ], axis=-1).reshape(b, -1)
+            packed = jnp.concatenate([m, confq.reshape(b, -1)], axis=1)
             return (packed,)
         return mask, conf
 
@@ -161,11 +173,26 @@ def main() -> int:
         if PACK == "p53":
             b = np.asarray(outs[0])
             return b >> 3, (b & 7) << 5
-        if PACK == "confq":
+        if PACK in ("confq", "confq6"):
             flat = np.asarray(outs[0])
             b = flat.shape[0]
-            mask = flat[:, : oh * ow].reshape(b, oh, ow)
-            conf = flat[:, oh * ow:].reshape(b, oh // 2, ow // 2)
+            nm = oh * ow if PACK == "confq" else oh * ow * 3 // 4
+            m = flat[:, :nm]
+            if PACK == "confq6":
+                if native_blend:  # GIL-free native unpack (hostops.cpp)
+                    from infur_tpu.hostops import unpack_mask6
+                    m = unpack_mask6(m)
+                else:
+                    t = m.reshape(b, -1, 3)
+                    b0, b1, b2 = t[..., 0], t[..., 1], t[..., 2]
+                    m = np.stack([
+                        b0 & 63,
+                        (b0 >> 6) | ((b1 & 15) << 2),
+                        (b1 >> 4) | ((b2 & 3) << 4),
+                        b2 >> 2,
+                    ], axis=-1)
+            mask = m.reshape(b, oh, ow)
+            conf = flat[:, nm:].reshape(b, oh // 2, ow // 2)
             return mask, conf
         return np.asarray(outs[0]), np.asarray(outs[1])
 

@@ -60,6 +60,24 @@ void blend_rows(const BlendArgs& a, int f, int y0, int y1) {
 
 }  // namespace
 
+// 6-bit mask unpack: 3 packed bytes -> 4 class ids (bench.py's confq6
+// wire format — lossless for <= 64 classes).  GIL-free like hop_blend so
+// the composite worker never stalls the dispatch threads on numpy bit ops.
+extern "C" int hop_unpack6(const uint8_t* packed, uint8_t* out,
+                           int64_t n_quads) {
+  if (!packed || !out || n_quads < 0) return -1;
+  for (int64_t q = 0; q < n_quads; ++q) {
+    const uint8_t b0 = packed[q * 3], b1 = packed[q * 3 + 1],
+                  b2 = packed[q * 3 + 2];
+    uint8_t* o = out + q * 4;
+    o[0] = b0 & 63;
+    o[1] = (uint8_t)((b0 >> 6) | ((b1 & 15) << 2));
+    o[2] = (uint8_t)((b1 >> 4) | ((b2 & 3) << 4));
+    o[3] = b2 >> 2;
+  }
+  return 0;
+}
+
 extern "C" int hop_blend(const uint8_t* mask, const uint8_t* conf,
                          const uint8_t* base, const uint8_t* palette,
                          int pal_len, uint8_t* out, int frames, int h, int w,

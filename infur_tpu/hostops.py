@@ -48,6 +48,8 @@ def _load():
                                   ctypes.c_int, ctypes.c_int, ctypes.c_int,
                                   ctypes.c_int, ctypes.c_int, ctypes.c_int]
         lib.hop_blend.restype = ctypes.c_int
+        lib.hop_unpack6.argtypes = [u8p, u8p, ctypes.c_int64]
+        lib.hop_unpack6.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -89,4 +91,25 @@ def blend_overlay(mask: np.ndarray, conf: np.ndarray, base: np.ndarray,
                        palette.shape[0], _u8p(out), f, h, w, ch, cw, threads)
     if rc != 0:
         raise ValueError(f"hop_blend rejected arguments (rc={rc})")
+    return out
+
+
+def unpack_mask6(packed: np.ndarray, out: np.ndarray | None = None
+                 ) -> np.ndarray:
+    """Unpack the 6-bit confq6 mask wire format: (..., N*3) packed bytes ->
+    (..., N*4) class ids (bench.py's lossless D2H payload)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("hostops native library unavailable")
+    packed = np.ascontiguousarray(packed, np.uint8)
+    if packed.shape[-1] % 3:
+        raise ValueError(f"last dim {packed.shape[-1]} not a multiple of 3")
+    n_quads = packed.size // 3
+    want = packed.shape[:-1] + (packed.shape[-1] // 3 * 4,)
+    if out is None or out.shape != want or out.dtype != np.uint8 \
+            or not out.flags.c_contiguous:
+        out = np.empty(want, np.uint8)
+    rc = lib.hop_unpack6(_u8p(packed), _u8p(out), n_quads)
+    if rc != 0:
+        raise ValueError(f"hop_unpack6 rejected arguments (rc={rc})")
     return out

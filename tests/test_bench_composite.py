@@ -54,3 +54,24 @@ def test_confq_quarter_res_round_trip(rng):
     err = np.abs(up.reshape(1, 4, 2, 8, 2)[:, :, 0, :, 0].astype(float)
                  - blocks)
     assert err.max() <= 1.0
+
+
+def test_confq6_bitpack_round_trip(rng):
+    """6-bit class ids, 4 pixels -> 3 bytes: LOSSLESS (bench default)."""
+    m = rng.integers(0, 64, (2, 48)).astype(np.uint8)  # full 6-bit range
+    q = m.reshape(2, -1, 4)
+    packed = np.stack([
+        (q[..., 0] | (q[..., 1] << 6)).astype(np.uint8),
+        ((q[..., 1] >> 2) | (q[..., 2] << 4)).astype(np.uint8),
+        ((q[..., 2] >> 4) | (q[..., 3] << 2)).astype(np.uint8),
+    ], axis=-1).reshape(2, -1)
+    t = packed.reshape(2, -1, 3)
+    b0, b1, b2 = t[..., 0], t[..., 1], t[..., 2]
+    back = np.stack([
+        b0 & 63,
+        (b0 >> 6) | ((b1 & 15) << 2),
+        (b1 >> 4) | ((b2 & 3) << 4),
+        b2 >> 2,
+    ], axis=-1).reshape(2, -1)
+    np.testing.assert_array_equal(back, m)
+    assert packed.shape[1] == m.shape[1] * 3 // 4

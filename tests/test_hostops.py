@@ -83,3 +83,18 @@ def test_bad_shapes_rejected(data):
     with pytest.raises(ValueError):
         blend_overlay(data["mask"], data["conf"], data["base"][:1],
                       data["palette"])
+
+
+def test_unpack_mask6_matches_numpy(rng):
+    from infur_tpu.hostops import have_hostops, unpack_mask6
+    if not have_hostops():
+        import pytest
+        pytest.skip("no native toolchain")
+    m = rng.integers(0, 64, (3, 48), dtype=np.uint8)
+    q = m.reshape(3, -1, 4)
+    packed = np.stack([
+        (q[..., 0] | (q[..., 1] << 6)).astype(np.uint8),
+        ((q[..., 1] >> 2) | (q[..., 2] << 4)).astype(np.uint8),
+        ((q[..., 2] >> 4) | (q[..., 3] << 2)).astype(np.uint8),
+    ], axis=-1).reshape(3, -1)
+    np.testing.assert_array_equal(unpack_mask6(packed), m)
