@@ -19,7 +19,9 @@ from infur_tpu.models.fcn_resnet50 import (  # noqa: F401
     fcn_resnet50_apply, fcn_resnet50_to_onnx, init_fcn_resnet50,
 )
 from infur_tpu.models.segformer import init_segformer, segformer_apply  # noqa: F401
-from infur_tpu.models.deeplabv3 import deeplabv3_apply, init_deeplabv3_resnet50  # noqa: F401
+from infur_tpu.models.deeplabv3 import (  # noqa: F401
+    deeplabv3_apply, deeplabv3_to_onnx, init_deeplabv3_resnet50,
+)
 from infur_tpu.models.segformer_moe import (  # noqa: F401
     init_segformer_moe, segformer_moe_apply,
 )

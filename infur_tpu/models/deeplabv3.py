@@ -68,6 +68,61 @@ def _aspp(x: jax.Array, p: dict[str, Any]) -> jax.Array:
     return _conv(y, p["cls"]) + p["cls_b"].astype(y.dtype)
 
 
+def deeplabv3_to_onnx(params: dict[str, Any], opset: int = 13):
+    """Emit the torchvision-format DeepLabV3 ONNX graph (NCHW f32
+    ``input`` -> ``out`` [+``aux``], any input size) from native params.
+    Same Shape-driven dynamic-size idiom as fcn_resnet50_to_onnx; the
+    ASPP pool branch resizes its 1x1 global feature back to layer4's
+    spatial dims the way torchvision's export does."""
+    import numpy as np
+
+    from infur_tpu.models.fcn_resnet50 import (
+        onnx_backbone, onnx_helpers, onnx_input_size_resize,
+    )
+    from infur_tpu.onnx.export import GraphBuilder
+
+    g = GraphBuilder("deeplabv3_resnet50")
+    x = g.input("input", np.float32, (1, 3, "height", "width"))
+    conv, bn, relu = onnx_helpers(g)
+    feats = onnx_backbone(g, x, params)
+    p = params["aspp"]
+    f4 = feats["layer4"]
+
+    branches = [relu(bn(conv(f4, p["b0_conv"]), p["b0_bn"]))]
+    for i, r in enumerate(ASPP_RATES):
+        branches.append(relu(bn(conv(f4, p[f"b{i + 1}_conv"], dilation=r),
+                                p[f"b{i + 1}_bn"])))
+    pool = g.node("GlobalAveragePool", [f4])
+    pool = relu(bn(conv(pool, p["pool_conv"]), p["pool_bn"]))
+    # resize the pooled branch to layer4's spatial dims (Shape-driven)
+    f4_shape = g.node("Shape", [f4])
+    hw4 = g.node("Slice", [f4_shape, g.const(np.asarray([2], np.int64)),
+                           g.const(np.asarray([4], np.int64)),
+                           g.const(np.asarray([0], np.int64))])
+    nd = g.const(np.asarray([1, ASPP_DIM], np.int64), g.fresh("pool_nd"))
+    pool_sizes = g.node("Concat", [nd, hw4], axis=0)
+    branches.append(g.node("Resize", [pool, "", "", pool_sizes],
+                           mode="linear",
+                           coordinate_transformation_mode="half_pixel"))
+
+    y = g.node("Concat", branches, axis=1)
+    y = relu(bn(conv(y, p["proj_conv"]), p["proj_bn"]))
+    y = relu(bn(conv(y, p["cls_conv"]), p["cls_bn"]))
+    y = conv(y, p["cls"], bias=p["cls_b"])
+
+    k = int(np.asarray(p["cls"]).shape[-1])
+    up = onnx_input_size_resize(g, x, k)
+    g.output(g.node("Identity", [up(y)], outputs=["out"]), np.float32,
+             (1, k, "height", "width"))
+    if "aux_head" in params:
+        ah = params["aux_head"]
+        a = relu(bn(conv(feats["layer3"], ah["conv1"]), ah["bn1"]))
+        a = conv(a, ah["conv2"], bias=ah["bias2"])
+        g.output(g.node("Identity", [up(a)], outputs=["aux"]), np.float32,
+                 (1, k, "height", "width"))
+    return g.model(opset=opset)
+
+
 @partial(jax.jit, static_argnames=("compute_dtype",))
 def deeplabv3_apply(params: dict[str, Any], x_nhwc: jax.Array,
                     compute_dtype: str = "float32") -> dict[str, jax.Array]:

@@ -232,21 +232,9 @@ def _onnx_conv_weight(w_hwio: jax.Array) -> np.ndarray:
     return np.transpose(np.asarray(w_hwio, np.float32), (3, 2, 0, 1))  # OIHW
 
 
-def fcn_resnet50_to_onnx(params: dict[str, Any], input_hw: tuple[int, int],
-                         opset: int = 13):
-    """Emit the reference-format ONNX graph (NCHW f32 in, out+aux) from
-    native params.  Serves as the full-scale importer fixture — the
-    environment has no network to download the zoo model
-    (cf. reference infur-test-gen/build.rs:88-93)."""
-    from infur_tpu.onnx.export import GraphBuilder
-
-    h, w = input_hw
-    g = GraphBuilder("fcn_resnet50")
-    # symbolic spatial dims + Shape-driven Resize (the zoo model's idiom):
-    # the file accepts any input size; the importer resolves the shape
-    # machinery statically at trace time
-    x = g.input("input", np.float32, (1, 3, "height", "width"))
-
+def onnx_helpers(g):
+    """conv/bn/relu emitters over a GraphBuilder (shared by the FCN and
+    DeepLabV3 exporters)."""
     def conv(x, wkey_arr, stride=1, dilation=1, bias=None, name=None):
         kh = wkey_arr.shape[0]
         pad = dilation * (kh - 1) // 2
@@ -268,10 +256,16 @@ def fcn_resnet50_to_onnx(params: dict[str, Any], input_hw: tuple[int, int],
     def relu(x):
         return g.node("Relu", [x])
 
+    return conv, bn, relu
+
+
+def onnx_backbone(g, x, params):
+    """Emit the shared dilated OS8 ResNet-50 walk; returns the per-stage
+    feature tensor names (mirrors :func:`backbone_features`)."""
+    conv, bn, relu = onnx_helpers(g)
     y = relu(bn(conv(x, params["stem_conv"], stride=2), params["stem_bn"]))
     y = g.node("MaxPool", [y], kernel_shape=[3, 3], strides=[2, 2],
                pads=[1, 1, 1, 1])
-
     stage_cfg = ((1, 1), (2, 1), (1, 2), (1, 4))
     feats = {}
     for si, (stride, dilation) in enumerate(stage_cfg):
@@ -287,28 +281,51 @@ def fcn_resnet50_to_onnx(params: dict[str, Any], input_hw: tuple[int, int],
                 sc = bn(conv(y, bp["down_conv"], stride=s), bp["down_bn"])
             y = relu(g.node("Add", [sc, yy]))
         feats[f"layer{si + 1}"] = y
+    return feats
+
+
+def onnx_input_size_resize(g, x, num_classes):
+    """A dynamic Resize-to-input-size emitter (Shape-driven, the zoo
+    model's idiom — the file accepts any input size and the importer
+    resolves the shape machinery statically at trace time)."""
+    in_shape = g.node("Shape", [x])
+    hw = g.node("Slice", [in_shape, g.const(np.asarray([2], np.int64)),
+                          g.const(np.asarray([4], np.int64)),
+                          g.const(np.asarray([0], np.int64))])
+    nk = g.const(np.asarray([1, num_classes], np.int64), g.fresh("resize_nk"))
+    sizes = g.node("Concat", [nk, hw], axis=0)
+
+    def up(t):
+        return g.node("Resize", [t, "", "", sizes], mode="linear",
+                      coordinate_transformation_mode="half_pixel")
+
+    return up
+
+
+def fcn_resnet50_to_onnx(params: dict[str, Any], input_hw: tuple[int, int],
+                         opset: int = 13):
+    """Emit the reference-format ONNX graph (NCHW f32 in, out+aux) from
+    native params.  Serves as the full-scale importer fixture — the
+    environment has no network to download the zoo model
+    (cf. reference infur-test-gen/build.rs:88-93)."""
+    from infur_tpu.onnx.export import GraphBuilder
+
+    g = GraphBuilder("fcn_resnet50")
+    x = g.input("input", np.float32, (1, 3, "height", "width"))
+    conv, bn, relu = onnx_helpers(g)
+    feats = onnx_backbone(g, x, params)
 
     def head(x, p):
         y = relu(bn(conv(x, p["conv1"]), p["bn1"]))
         return conv(y, p["conv2"], bias=p["bias2"])
 
-    # dynamic output size: Shape(input) -> spatial dims -> Concat target
-    in_shape = g.node("Shape", [x])
-    hw = g.node("Slice", [in_shape, g.const(np.asarray([2], np.int64)),
-                          g.const(np.asarray([4], np.int64)),
-                          g.const(np.asarray([0], np.int64))])
-    nk = g.const(np.asarray([1, NUM_CLASSES], np.int64), "resize_nk")
-    sizes = g.node("Concat", [nk, hw], axis=0)
-
-    def up(x):
-        return g.node("Resize", [x, "", "", sizes], mode="linear",
-                      coordinate_transformation_mode="half_pixel")
-
+    k = int(np.asarray(params["head"]["conv2"]).shape[-1])
+    up = onnx_input_size_resize(g, x, k)
     out = up(head(feats["layer4"], params["head"]))
     g.output(g.node("Identity", [out], outputs=["out"]), np.float32,
-             (1, NUM_CLASSES, "height", "width"))
+             (1, k, "height", "width"))
     if "aux_head" in params:
         aux = up(head(feats["layer3"], params["aux_head"]))
         g.output(g.node("Identity", [aux], outputs=["aux"]), np.float32,
-                 (1, NUM_CLASSES, "height", "width"))
+                 (1, k, "height", "width"))
     return g.model(opset=opset)

@@ -25,3 +25,28 @@ def test_family_spec():
     cell = Cell()
     stage.advance(frame, cell)
     assert cell.value.primary.shape == (21, 32, 32)
+
+
+def test_onnx_roundtrip_parity(rng):
+    """Native NHWC apply == exported-ONNX-imported NCHW apply (completes
+    the export matrix: all four dense families export)."""
+    import jax
+    from infur_tpu.models import (
+        deeplabv3_apply, deeplabv3_to_onnx, init_deeplabv3_resnet50,
+    )
+    from infur_tpu.onnx import import_model, run_model
+
+    params = init_deeplabv3_resnet50(jax.random.PRNGKey(4), num_classes=6)
+    model = deeplabv3_to_onnx(params)
+    x = rng.normal(size=(1, 48, 64, 3)).astype(np.float32)
+    nchw = np.transpose(x, (0, 3, 1, 2))
+    got = import_model(model)({"input": nchw})
+    want = deeplabv3_apply(params, x)
+    for k in ("out", "aux"):
+        a, b = np.asarray(got[k]), np.asarray(want[k])
+        scale = max(np.abs(b).max(), 1e-6)
+        assert np.abs(a - b).max() / scale < 2e-3, k
+    # oracle agrees too (three-way)
+    orc = run_model(model, {"input": nchw})["out"]
+    scale = max(np.abs(orc).max(), 1e-6)
+    assert np.abs(orc - np.asarray(got["out"])).max() / scale < 2e-3
