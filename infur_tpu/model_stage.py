@@ -210,9 +210,12 @@ class _NativeBackend:
         self.compute_dtype = "float32"
         self.apply_kwargs: dict[str, str] = {}
         variant = None
+        mesh_spec = None
         for o in opts:
             if o == "bf16":
                 self.compute_dtype = "bfloat16"
+            elif o.startswith("mesh="):
+                mesh_spec = o[5:]
             elif o in family.variants:
                 variant = o
             elif o in family.apply_opts:
@@ -220,7 +223,7 @@ class _NativeBackend:
             else:
                 raise ModelLoadError(
                     f"unknown option {o!r} for {family.name} "
-                    f"(expected bf16, one of {sorted(family.variants)}"
+                    f"(expected bf16, mesh=MxS, one of {sorted(family.variants)}"
                     f"{' or ' + '/'.join(sorted(family.apply_opts)) if family.apply_opts else ''})")
         if ckpt:
             self.params = _load_ckpt(family.name, ckpt)
@@ -230,6 +233,37 @@ class _NativeBackend:
         self.dims = (1, None, None, 3)
         self.np_dtype = np.dtype(np.float32)
         self.output_names = family.outputs(self.params)
+        self.mesh = None
+        self._x_sharding = None
+        if mesh_spec:
+            self._setup_mesh(mesh_spec)
+
+    def _setup_mesh(self, mesh_spec: str) -> None:
+        """``mesh=MxS``: shard this model over an (M tensor) x (S spatial)
+        device mesh — conv output channels over ``model``, image rows over
+        ``spatial`` with GSPMD halo exchange (parallel/mesh.py).  Serving
+        parity with the train-side shardings, reachable from the same Load
+        command every frontend uses."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from infur_tpu.parallel.mesh import make_mesh, shard_fcn_params
+        try:
+            m, s = (int(v) for v in mesh_spec.split("x"))
+            if m < 1 or s < 1:
+                raise ValueError
+        except ValueError:
+            raise ModelLoadError(
+                f"mesh spec must be MxS positive ints, got {mesh_spec!r}")
+        need = m * s
+        if need > len(jax.devices()):
+            raise ModelLoadError(
+                f"mesh={mesh_spec} needs {need} devices, "
+                f"have {len(jax.devices())}")
+        self.mesh = make_mesh(need, model_axis=m, spatial_axis=s)
+        self.params = jax.device_put(
+            self.params, shard_fcn_params(self.params, self.mesh))
+        if s > 1:
+            self._x_sharding = NamedSharding(self.mesh, P(None, "spatial"))
 
     def preproc(self, out_hw: tuple[int, int]) -> PreProc:
         return _apply_overrides(
@@ -238,6 +272,9 @@ class _NativeBackend:
             self.overrides)
 
     def __call__(self, x: jax.Array) -> dict[str, jax.Array]:
+        if self._x_sharding is not None \
+                and x.shape[1] % self.mesh.shape["spatial"] == 0:
+            x = jax.device_put(x, self._x_sharding)
         return self._apply(self.params, x, compute_dtype=self.compute_dtype,
                            **self.apply_kwargs)
 

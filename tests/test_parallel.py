@@ -127,3 +127,41 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
                        shard_batch(mesh))
     _, loss = train_step(restored, x, y)
     assert np.isfinite(float(loss))
+
+
+def test_model_stage_mesh_spec_serving_parity():
+    """`fcn_resnet50:mesh=2x2` through the product Load command: params
+    shard over (model, spatial), frames shard over image rows, outputs
+    match the unsharded stage exactly (8-device virtual mesh)."""
+    import numpy as np
+
+    from infur_tpu.model_stage import Load, ModelStage
+    from infur_tpu.processing import Frame
+
+    frame = Frame(1, np.random.default_rng(5).integers(
+        0, 255, (32, 48, 3), dtype=np.uint8))
+
+    def run(spec):
+        from infur_tpu.processing import Cell
+        st = ModelStage()
+        st.control(Load(spec))
+        cell = Cell()
+        st.advance(frame, cell)
+        return np.asarray(cell.value.outputs["out"])
+
+    plain = run("fcn_resnet50")
+    meshed = run("fcn_resnet50:mesh=2x2")
+    # channel sharding (model axis) changes the conv contraction order, so
+    # f32 sums reassociate — logits agree to ~1e-3, masks exactly
+    np.testing.assert_allclose(meshed, plain, atol=2e-3, rtol=2e-3)
+    np.testing.assert_array_equal(meshed.argmax(0), plain.argmax(0))
+
+
+def test_model_stage_mesh_spec_validation():
+    import pytest
+
+    from infur_tpu.errors import ModelLoadError
+    from infur_tpu.model_stage import Load, ModelStage
+    for bad in ("lraspp:mesh=abc", "lraspp:mesh=0x2", "lraspp:mesh=9x9"):
+        with pytest.raises(ModelLoadError):
+            ModelStage().control(Load(bad))
