@@ -234,3 +234,35 @@ def test_still_image_displays_and_rerenders(tmp_path):
     assert f2.id == 1
     assert np.asarray(f2.buffer).shape == (48, 64, 4)
     app.close()
+
+
+def test_hot_model_swap_under_load():
+    """Swapping models while frames flow (the reference's hot Load,
+    predict_onnx.rs:310-312) never kills the stream: frames before,
+    during, and after the swap; unload mid-play works too."""
+    import time as _time
+
+    handle = start_proc(ProcessingApp())
+    try:
+        handle.send(Play(synth(32, 24, fps=60, secs=5)))
+        handle.send(ModelCmd("lraspp"))
+        got = []
+        deadline = _time.monotonic() + 120
+        swapped = unloaded = False
+        while len(got) < 12 and _time.monotonic() < deadline:
+            try:
+                r = handle.frame_rx.get(timeout=5)
+            except queue.Empty:
+                continue  # a jit compile mid-swap can stall several seconds
+            if isinstance(r, GUIFrame):
+                got.append(r.id)
+                if len(got) == 4 and not swapped:
+                    swapped = True
+                    handle.send(ModelCmd("fcn_resnet50"))
+                if len(got) == 8 and not unloaded:
+                    unloaded = True
+                    handle.send(ModelCmd(""))  # unload = inference off
+        assert len(got) >= 12, f"stream stalled: {got}"
+        assert got == sorted(got)  # ids stay monotonically increasing
+    finally:
+        handle.stop()

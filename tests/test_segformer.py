@@ -143,3 +143,23 @@ class TestHuggingFaceParity:
         st = ModelStage()
         st.control(Load(f"segformer@{p}"))
         assert st._backend.params["head"]["cls_b"].shape == (3,)
+
+
+def test_hf_mapping_handles_b1_geometry():
+    """The mapping infers geometry from tensors — a b1-sized config maps
+    and round-trips without naming the variant."""
+    import torch
+    from transformers import SegformerConfig, SegformerForSemanticSegmentation
+
+    from infur_tpu.models.torch_weights import (
+        segformer_from_hf_state, segformer_to_hf_state,
+    )
+    torch.manual_seed(1)
+    cfg = SegformerConfig(hidden_sizes=[64, 128, 320, 512], num_labels=4)
+    m = SegformerForSemanticSegmentation(cfg).eval()
+    state = {k: v.numpy() for k, v in m.state_dict().items()}
+    params = segformer_from_hf_state(state)
+    assert params["stage4"]["patch_conv"].shape[-1] == 512
+    assert params["head"]["cls_b"].shape == (4,)
+    back = segformer_to_hf_state(params)
+    assert set(back) == set(state)
