@@ -266,3 +266,32 @@ def test_hot_model_swap_under_load():
         assert got == sorted(got)  # ids stay monotonically increasing
     finally:
         handle.stop()
+
+
+def test_soak_sustained_streaming():
+    """300 frames through the proc loop without a stall, frame drop at the
+    bounded channel notwithstanding: ids strictly increase and the stream
+    never gaps longer than the idle threshold (production-stability smoke
+    for the scheduler's blocking/draining intake)."""
+    import time as _time
+
+    handle = start_proc(ProcessingApp())
+    try:
+        handle.send(Play(["synth:48x36@240:300f"]))
+        ids = []
+        deadline = _time.monotonic() + 60
+        while _time.monotonic() < deadline:
+            try:
+                r = handle.frame_rx.get(timeout=3)
+            except queue.Empty:
+                break  # end of stream (EOF drains silently)
+            if isinstance(r, GUIFrame):
+                ids.append(r.id)
+                if ids[-1] >= 300:
+                    break
+        assert len(ids) >= 300, f"only {len(ids)} frames"
+        assert ids == sorted(ids)
+        assert ids[-1] == 300  # every frame delivered in order (no drops:
+        # the consumer here keeps up, backpressure does the pacing)
+    finally:
+        handle.stop()
