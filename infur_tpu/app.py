@@ -53,11 +53,19 @@ class ModelCmd:
 
 
 @dataclass(frozen=True)
+class ColorCmd:
+    """Mask-decode options: ``softmax`` turns raw logits into probability
+    alpha (the reference flags this as a todo, reference README.md:76 —
+    here it is a live control)."""
+    softmax: bool = False
+
+
+@dataclass(frozen=True)
 class Exit:
     pass
 
 
-AppCmd = Union[VideoCmd, ScaleCmd, ModelCmd, Exit]
+AppCmd = Union[VideoCmd, ScaleCmd, ModelCmd, ColorCmd, Exit]
 
 
 @dataclass
@@ -115,6 +123,8 @@ class ProcessingApp(Processor[AppCmd, None, "GUIFrame | None"]):
         self.frame: Cell[Frame] = Cell()
         self.scaled: Cell[Frame] = Cell()
         self.pred: Cell[Prediction] = Cell()
+        self.color_softmax = False
+        self._color_dirty = False
         self.to_exit = False
         # set by the scheduler loop: receives StageStatus for transient
         # states (jit warmup) that frontends show while generate() blocks
@@ -130,6 +140,10 @@ class ProcessingApp(Processor[AppCmd, None, "GUIFrame | None"]):
             self.scale.control(cmd.factor)
         elif isinstance(cmd, ModelCmd):
             self.model.control(Load(cmd.spec))
+        elif isinstance(cmd, ColorCmd):
+            if cmd.softmax != self.color_softmax:
+                self.color_softmax = cmd.softmax
+                self._color_dirty = True  # re-render the retained frame
         elif isinstance(cmd, Exit):
             self.to_exit = True
         else:
@@ -143,12 +157,14 @@ class ProcessingApp(Processor[AppCmd, None, "GUIFrame | None"]):
                        timings_ms=self.timers.snapshot())
 
     def is_dirty(self) -> bool:
-        return self.vid.is_dirty() or self.scale.is_dirty()
+        return self.vid.is_dirty() or self.scale.is_dirty() \
+            or self._color_dirty
 
     # -- the per-frame dataflow (app.rs:107-153) --
     def advance(self, inp: None, out: Cell["GUIFrame | None"]) -> None:
         out.value = None
         scale_was_dirty = self.scale.is_dirty()
+        color_was_dirty, self._color_dirty = self._color_dirty, False
 
         with self.timers.stage("video"):
             got_new_frame = self.vid.advance(None, self.frame)
@@ -181,7 +197,7 @@ class ProcessingApp(Processor[AppCmd, None, "GUIFrame | None"]):
         elif not self.model.loaded:
             self.pred.value = None
 
-        if not (got_new_frame or scale_was_dirty):
+        if not (got_new_frame or scale_was_dirty or color_was_dirty):
             return  # nothing new to show (paused & no param change)
 
         if scaled.fmt == "i420":
@@ -197,16 +213,19 @@ class ProcessingApp(Processor[AppCmd, None, "GUIFrame | None"]):
             scores = pred.primary
             from infur_tpu.ops import on_tpu
             with self.timers.stage("decode"):
+                sm = self.color_softmax
                 if on_tpu():  # fused Pallas postprocess on real hardware
                     from infur_tpu.ops.colorcode import _DEFAULT_PALETTE
                     from infur_tpu.ops.pallas_colorcode import color_code_pallas
                     from infur_tpu.ops.pallas_overlay import overlay_pallas
                     decoded = color_code_pallas(scores,
-                                                jnp.asarray(_DEFAULT_PALETTE))
-                    composited = overlay_pallas(scaled_dev, scores)
+                                                jnp.asarray(_DEFAULT_PALETTE),
+                                                apply_softmax=sm)
+                    composited = overlay_pallas(scaled_dev, scores,
+                                                apply_softmax=sm)
                 else:
-                    decoded = color_code(scores)
-                    composited = overlay(scaled_dev, scores)
+                    decoded = color_code(scores, apply_softmax=sm)
+                    composited = overlay(scaled_dev, scores, apply_softmax=sm)
         out.value = GUIFrame(id=scaled.id, buffer=buffer,
                              decoded=decoded, composited=composited)
 

@@ -62,6 +62,9 @@ def cmd_play(args: argparse.Namespace) -> int:
     handle = start_proc(ProcessingApp(model_bucket=cfg.model_bucket))
     for cmd in cfg.commands():
         handle.send(cmd)
+    if args.softmax:
+        from infur_tpu.app import ColorCmd
+        handle.send(ColorCmd(softmax=True))
 
     if args.out:
         os.makedirs(args.out, exist_ok=True)
@@ -286,6 +289,9 @@ def main(argv: list[str] | None = None) -> int:
     play.add_argument("--profile", default=None, metavar="DIR",
                       help="capture a jax.profiler device trace of the run "
                       "(TensorBoard format) into DIR")
+    play.add_argument("--softmax", action="store_true",
+                      help="softmax the model logits for the overlay alpha "
+                      "(reference README todo, here a live control)")
     play.add_argument("--stats", action="store_true")
     play.add_argument("--config", default=None, help="JSON config path")
     play.add_argument("--save-config", action="store_true")

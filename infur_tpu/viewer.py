@@ -52,6 +52,8 @@ input[type=text]{width:24rem;background:#222;color:#dde;border:1px solid #444}
 <h3>infur-tpu</h3>
 <img id=frame src=/stream>
 <div class=row><label><input type=checkbox id=paused> pause</label>
+ <label><input type=checkbox id=softmax
+  onchange="cmd({softmax:this.checked})"> softmax alpha</label>
  <label>scale <input type=range id=scale min=0.1 max=1.0 step=0.01>
  <span id=scaleval></span></label></div>
 <div class=row><input type=text id=video placeholder="video input">
@@ -262,6 +264,9 @@ class ViewerState:
             self.handle.send(ModelCmd(str(c["model"])))
             if cfg is not None:
                 cfg.model_input = str(c["model"])
+        if "softmax" in c:
+            from infur_tpu.app import ColorCmd
+            self.handle.send(ColorCmd(softmax=bool(c["softmax"])))
         if c.get("stop"):
             self.handle.send(Stop())
         if c.get("exit"):

@@ -295,3 +295,28 @@ def test_soak_sustained_streaming():
         # the consumer here keeps up, backpressure does the pacing)
     finally:
         handle.stop()
+
+
+def test_color_softmax_control_rerenders_paused_frame():
+    """ColorCmd(softmax=True) is a live control: it re-renders the
+    retained frame (same id) with probability alpha — visibly different
+    composite for logit-scale scores."""
+    from infur_tpu.app import ColorCmd
+
+    app = ProcessingApp()
+    app.control(Play(synth(32, 24)))
+    app.control(ScaleCmd(1.0))
+    app.control(ModelCmd("fcn_resnet50"))
+    f1 = app.generate()
+    app.control(Pause(True))
+    assert app.generate() is None
+    app.control(ColorCmd(softmax=True))
+    assert app.is_dirty()
+    f2 = app.generate()
+    assert f2 is not None and f2.id == f1.id
+    a = np.asarray(f1.composited).astype(int)
+    b = np.asarray(f2.composited).astype(int)
+    assert np.abs(a - b).max() > 0  # alpha scale actually changed
+    app.control(ColorCmd(softmax=True))  # no-op: same value
+    assert not app.is_dirty()
+    app.close()
