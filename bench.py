@@ -87,6 +87,40 @@ def _emit(rounds_fps: list[float], lat_ms: list[float]) -> None:
     print(json.dumps(out), flush=True)
 
 
+def _preflight_wait(budget_s: float) -> bool:
+    """Wait (in subprocess probes) until the relay answers a trivial device
+    op, or the budget runs out.  Relay wedges can last hours
+    (BENCH_NOTES.md); starting the measured run during one would record a
+    zero for the whole round.  Probes run BEFORE this process imports jax,
+    each in its own short-lived python, so a hung probe holds no state."""
+    import subprocess
+    import tempfile
+    deadline = time.monotonic() + budget_s
+    probe = ("import jax, numpy; "
+             "print(numpy.asarray(jax.numpy.ones(4)).sum())")
+    first = True
+    while time.monotonic() < deadline:
+        # stdout to a FILE, not a pipe: a killed probe can leave jax helper
+        # processes holding an inherited pipe, and run(capture_output=True)
+        # would then block past its timeout waiting for pipe EOF
+        with tempfile.TemporaryFile() as out:
+            try:
+                r = subprocess.run([sys.executable, "-c", probe],
+                                   stdout=out, stderr=subprocess.DEVNULL,
+                                   stdin=subprocess.DEVNULL, timeout=90)
+                out.seek(0)
+                if r.returncode == 0 and b"4.0" in out.read():
+                    return True
+            except subprocess.TimeoutExpired:
+                pass
+        if first:
+            print("bench: relay not answering, waiting for recovery...",
+                  file=sys.stderr, flush=True)
+            first = False
+        time.sleep(20)
+    return False
+
+
 def main() -> int:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
     # The relay transport can wedge mid-run (device fetches that never
@@ -100,6 +134,10 @@ def main() -> int:
         _emit(rounds_done, lat_ms)
         os._exit(0)
 
+    preflight = float(os.environ.get("INFUR_BENCH_PREFLIGHT_S", "900"))
+    if not _preflight_wait(preflight):
+        _emit([], [])  # relay never recovered: honest zero line
+        return 0
     timer = threading.Timer(480.0, _watchdog)
     timer.daemon = True
     timer.start()
