@@ -36,7 +36,7 @@ from infur_tpu.errors import InfurError
 from infur_tpu.model_stage import Load, ModelInfo, ModelStage, Prediction
 from infur_tpu.ops.colorcode import color_code, overlay
 from infur_tpu.processing import (
-    Cell, Frame, Pause, Play, Processor, Scale, Stop, VideoCmd,
+    Cell, Frame, Pause, Play, Processor, Scale, Seek, Step, Stop, VideoCmd,
 )
 
 
@@ -134,7 +134,7 @@ class ProcessingApp(Processor[AppCmd, None, "GUIFrame | None"]):
 
     # -- control: demux to children (app.rs:91-105) --
     def control(self, cmd: AppCmd) -> "ProcessingApp":
-        if isinstance(cmd, (Play, Pause, Stop)):
+        if isinstance(cmd, (Play, Pause, Stop, Seek, Step)):
             self.vid.control(cmd)
         elif isinstance(cmd, ScaleCmd):
             self.scale.control(cmd.factor)

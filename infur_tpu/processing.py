@@ -122,7 +122,23 @@ class Stop:
     pass
 
 
-VideoCmd = Play | Pause | Stop
+@dataclass(frozen=True)
+class Seek:
+    """Jump to an absolute position (reference README todo: video seeking).
+    Seekable sources: RVF (random access), synth, image sequences; pipe
+    decoders raise a typed ControlError (a byte pipe has no position)."""
+    seconds: float
+
+
+@dataclass(frozen=True)
+class Step:
+    """Step ``frames`` forward (any source: skip-decode) or backward
+    (seekable sources), producing ONE new frame even while paused —
+    the reference README's fast-forward/backward todo."""
+    frames: int = 1
+
+
+VideoCmd = Play | Pause | Stop | Seek | Step
 
 
 class VideoPlayer(Processor[VideoCmd, None, Frame]):
@@ -141,27 +157,60 @@ class VideoPlayer(Processor[VideoCmd, None, Frame]):
         self._vid: VideoDecoder | None = None
         self.paused = False
         self.inputs: tuple[str, ...] = ()
+        self._last_id = 0    # most recent frame id produced
+        self._skip = 0       # frames to decode-and-discard before producing
+        self._step_once = False  # produce one frame even while paused
 
     def _close_video(self) -> None:
         if self._vid is not None:
             vid, self._vid = self._vid, None
             vid.close()
 
+    def _seek_to(self, index: int) -> None:
+        from infur_tpu.errors import ControlError
+        seek = getattr(self._vid, "seek", None)
+        if seek is None:
+            raise ControlError(
+                "this source is not seekable (pipe decoders have no "
+                "position; RVF/synth/image sources seek)")
+        self._last_id = seek(max(index, 0))
+        self._step_once = True
+
     def control(self, cmd: VideoCmd) -> "VideoPlayer":
         if isinstance(cmd, Play):
             self._close_video()
             self.inputs = cmd.inputs
             self._vid = open_video(cmd.inputs, pix_fmt=cmd.pix_fmt)
+            self._last_id = 0
+            self._skip = 0
+            self._step_once = False
         elif isinstance(cmd, Pause):
             self.paused = cmd.paused
         elif isinstance(cmd, Stop):
             self._close_video()
+        elif isinstance(cmd, Seek):
+            if self._vid is None:
+                from infur_tpu.errors import ControlError
+                raise ControlError("no video open to seek")
+            fps = self._vid.fps or 30.0
+            self._seek_to(int(round(cmd.seconds * fps)))
+        elif isinstance(cmd, Step):
+            if self._vid is None:
+                from infur_tpu.errors import ControlError
+                raise ControlError("no video open to step")
+            if cmd.frames >= 1:
+                # forward: universal (decode-and-discard the gap)
+                self._skip += cmd.frames - 1
+                self._step_once = True
+            else:
+                # backward: needs a seekable source; _last_id is 1-based
+                self._seek_to(self._last_id - 1 + cmd.frames)
         else:
             raise TypeError(f"not a VideoCmd: {cmd!r}")
         return self
 
     def is_dirty(self) -> bool:
-        return self._vid is not None and not self.paused
+        return self._vid is not None and (not self.paused or self._step_once)
 
     @property
     def geometry(self) -> tuple[int, int, float] | None:
@@ -171,10 +220,20 @@ class VideoPlayer(Processor[VideoCmd, None, Frame]):
 
     def advance(self, inp: None, out: Cell[Frame]) -> bool:
         """Read the next frame; returns True iff a frame was produced
-        (False while paused/stopped/EOF — the retained frame is untouched)."""
-        if self.paused or self._vid is None:
+        (False while paused/stopped/EOF — the retained frame is untouched).
+        A pending Seek/Step produces its one frame even while paused."""
+        if (self.paused and not self._step_once) or self._vid is None:
             return False
+        self._step_once = False
         vid = self._vid
+        while self._skip > 0:  # fast-forward: decode-and-discard the gap
+            self._skip -= 1
+            try:
+                vid.read_frame_into(vid.empty_image())
+            except VideoEOF:
+                self._skip = 0
+                self._close_video()
+                return False
         fmt = "i420" if getattr(vid, "pix_fmt", "bgr24") == "yuv420p" \
             or getattr(getattr(vid, "header", None), "fourcc", b"") == b"I420" \
             else "bgr24"
@@ -191,6 +250,7 @@ class VideoPlayer(Processor[VideoCmd, None, Frame]):
         except VideoEOF:
             self._close_video()  # EOF-as-control-flow (processing.rs:133-135)
             return False
+        self._last_id = frame.id
         out.value = frame
         return True
 

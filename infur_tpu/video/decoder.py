@@ -78,6 +78,12 @@ class SynthDecoder:
         self._next += 1
         return self._next  # 1-based ids like the reference frame counter
 
+    def seek(self, frame_index: int) -> int:
+        """Jump so the next read returns frame ``frame_index`` (0-based);
+        returns the landed index (clamped to the clip)."""
+        self._next = max(0, min(int(frame_index), self.spec.count - 1))
+        return self._next
+
     def close(self) -> None:
         pass
 
@@ -95,6 +101,9 @@ class RvfDecoder:
 
     def read_frame_into(self, img: np.ndarray) -> int:
         return self._rdr.read_frame_into(img)
+
+    def seek(self, frame_index: int) -> int:
+        return self._rdr.seek(frame_index)
 
     def close(self) -> None:
         self._rdr.close()

@@ -101,6 +101,10 @@ class ImageDecoder:
         self._next += 1
         return self._next  # 1-based ids like every decoder here
 
+    def seek(self, frame_index: int) -> int:
+        self._next = max(0, min(int(frame_index), len(self._frames) - 1))
+        return self._next
+
     def close(self) -> None:
         self._frames = []
         self._next = 0

@@ -161,6 +161,16 @@ class RvfReader:
         self._frame_id += 1
         return self._frame_id
 
+    def seek(self, frame_index: int) -> int:
+        """Random access (fixed frame size): position so the next read
+        returns frame ``frame_index`` (0-based), clamped; returns the
+        landed index.  This is what makes RVF sources seekable in the
+        player (reference README todo: video seeking)."""
+        idx = max(0, min(int(frame_index), max(self.header.count - 1, 0)))
+        self._f.seek(HEADER.size + idx * self.header.frame_bytes)
+        self._frame_id = idx
+        return idx
+
     def close(self) -> None:
         if self._owns:
             self._f.close()

@@ -54,6 +54,12 @@ input[type=text]{width:24rem;background:#222;color:#dde;border:1px solid #444}
 <div class=row><label><input type=checkbox id=paused> pause</label>
  <label><input type=checkbox id=softmax
   onchange="cmd({softmax:this.checked})"> softmax alpha</label>
+ <button onclick="cmd({step:-10})">&#9194;10</button>
+ <button onclick="cmd({step:-1})">&#9664;</button>
+ <button onclick="cmd({step:1})">&#9654;</button>
+ <button onclick="cmd({step:10})">&#9193;10</button>
+ <label>seek <input type=number id=seeks style="width:5rem"
+  onchange="cmd({seek:parseFloat(this.value)||0})"> s</label>
  <label>scale <input type=range id=scale min=0.1 max=1.0 step=0.01>
  <span id=scaleval></span></label></div>
 <div class=row><input type=text id=video placeholder="video input">
@@ -267,6 +273,12 @@ class ViewerState:
         if "softmax" in c:
             from infur_tpu.app import ColorCmd
             self.handle.send(ColorCmd(softmax=bool(c["softmax"])))
+        if "seek" in c:
+            from infur_tpu.processing import Seek
+            self.handle.send(Seek(float(c["seek"])))
+        if "step" in c:
+            from infur_tpu.processing import Step
+            self.handle.send(Step(int(c["step"])))
         if c.get("stop"):
             self.handle.send(Stop())
         if c.get("exit"):

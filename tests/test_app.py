@@ -320,3 +320,77 @@ def test_color_softmax_control_rerenders_paused_frame():
     app.control(ColorCmd(softmax=True))  # no-op: same value
     assert not app.is_dirty()
     app.close()
+
+
+class TestSeekStep:
+    """Seeking and frame stepping (reference README todos: video
+    fast-forward/backward + seeking)."""
+
+    def test_step_forward_while_paused(self):
+        from infur_tpu.processing import Step
+        app = ProcessingApp()
+        app.control(Play(synth(32, 24, fps=10, secs=2.0)))  # 20 frames
+        f1 = app.generate()
+        app.control(Pause(True))
+        assert app.generate() is None
+        app.control(Step(1))        # paused single-step: one new frame
+        assert app.is_dirty()
+        f2 = app.generate()
+        assert f2.id == f1.id + 1
+        assert app.generate() is None   # still paused after the step
+        app.control(Step(5))        # fast-forward skips the gap
+        f3 = app.generate()
+        assert f3.id == f2.id + 5
+        app.close()
+
+    def test_step_backward_on_seekable(self):
+        from infur_tpu.processing import Step
+        app = ProcessingApp()
+        app.control(Play(["synth:32x24@10:20f"]))
+        for _ in range(6):
+            f = app.generate()
+        assert f.id == 6
+        app.control(Pause(True))
+        app.control(Step(-3))
+        fb = app.generate()
+        assert fb.id == 3
+        # the frame really is frame 3's content (index-coded pattern)
+        from infur_tpu.video.testsrc import decode_frame_index, synth_spec_from_url
+        spec = synth_spec_from_url("synth:32x24@10:20f")
+        rgba = np.asarray(fb.buffer)
+        bgr = rgba[:, :, 2::-1][:, :, ::1]  # RGBA -> BGR channel order
+        bgr = np.ascontiguousarray(rgba[:, :, [2, 1, 0]])
+        assert decode_frame_index(bgr, spec) == 2  # 0-based index of id 3
+        app.close()
+
+    def test_seek_seconds(self):
+        from infur_tpu.processing import Seek
+        app = ProcessingApp()
+        app.control(Play(["synth:32x24@10:40f"]))
+        app.generate()
+        app.control(Seek(2.0))      # 10 fps -> frame index 20
+        f = app.generate()
+        assert f.id == 21           # 1-based id of 0-based index 20
+        app.close()
+
+    def test_seek_on_unseekable_is_typed_error(self, tmp_path, monkeypatch):
+        """Pipe decoders have no position: Seek raises ControlError and the
+        app survives."""
+        from infur_tpu.errors import ControlError
+        from infur_tpu.processing import Seek, VideoPlayer
+
+        vp = VideoPlayer()
+        vp._vid = object.__new__(type("Pipe", (), {
+            "fps": 30.0, "close": lambda self: None}))
+        with pytest.raises(ControlError):
+            vp.control(Seek(1.0))
+
+    def test_step_past_eof_closes_silently(self):
+        from infur_tpu.processing import Step
+        app = ProcessingApp()
+        app.control(Play(["synth:32x24@10:5f"]))
+        app.generate()
+        app.control(Pause(True))
+        app.control(Step(50))       # way past the end
+        assert app.generate() is None  # EOF during skip: silent close
+        app.close()
