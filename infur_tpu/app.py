@@ -84,6 +84,8 @@ class GUIFrame:
     buffer: jax.Array
     decoded: jax.Array | None = None
     composited: jax.Array | None = None
+    #: (K,) int32 pixel counts of the predicted classes (frontend captions)
+    class_counts: jax.Array | None = None
 
 
 @dataclass(frozen=True)
@@ -207,10 +209,12 @@ class ProcessingApp(Processor[AppCmd, None, "GUIFrame | None"]):
         else:
             scaled_dev = jnp.asarray(scaled.img)
         buffer = _frame_rgba(scaled_dev)
-        decoded = composited = None
+        decoded = composited = counts = None
         pred = self.pred.value
         if pred is not None and pred.primary is not None:
             scores = pred.primary
+            from infur_tpu.ops.colorcode import class_histogram
+            counts = class_histogram(scores)
             from infur_tpu.ops import on_tpu
             with self.timers.stage("decode"):
                 sm = self.color_softmax
@@ -227,7 +231,8 @@ class ProcessingApp(Processor[AppCmd, None, "GUIFrame | None"]):
                     decoded = color_code(scores, apply_softmax=sm)
                     composited = overlay(scaled_dev, scores, apply_softmax=sm)
         out.value = GUIFrame(id=scaled.id, buffer=buffer,
-                             decoded=decoded, composited=composited)
+                             decoded=decoded, composited=composited,
+                             class_counts=counts)
 
     def close(self) -> None:
         self.vid.close()

@@ -132,9 +132,17 @@ def cmd_play(args: argparse.Namespace) -> int:
                           "--out-video keeps the initial geometry "
                           "(mismatched frames skipped)", file=sys.stderr)
             if args.stats and (stats := counter.stats()) is not None:
+                caption = ""
+                if frame.class_counts is not None:
+                    from infur_tpu.ops.colorcode import class_labels
+                    counts = np.asarray(frame.class_counts)
+                    names = class_labels(len(counts))
+                    top = [f"{names[k]} {100 * counts[k] / max(counts.sum(), 1):.0f}%"
+                           for k in np.argsort(counts)[::-1][:3] if counts[k]]
+                    caption = "  " + ", ".join(top)
                 print(f"fps {stats.shown_fps:6.1f} shown "
                       f"{stats.received_fps:6.1f} recv "
-                      f"{stats.drops:5.1f} drop", flush=True)
+                      f"{stats.drops:5.1f} drop{caption}", flush=True)
             _drain_ctrl(handle, args, state)
     finally:
         prof_ctx.__exit__(None, None, None)

@@ -45,6 +45,33 @@ def make_palette(n: int = PALETTE_SIZE) -> np.ndarray:
 
 _DEFAULT_PALETTE = make_palette()
 
+#: PASCAL VOC class names — the label set of the reference's flagship
+#: fcn-resnet50-12 model and every native family's default head.  Class
+#: captions are a reference README todo (README.md:77) done here.
+VOC_LABELS = (
+    "background", "aeroplane", "bicycle", "bird", "boat", "bottle", "bus",
+    "car", "cat", "chair", "cow", "diningtable", "dog", "horse",
+    "motorbike", "person", "pottedplant", "sheep", "sofa", "train",
+    "tvmonitor",
+)
+
+
+def class_labels(k: int) -> tuple[str, ...]:
+    """Caption strings for a K-class head: VOC names when K matches,
+    generic ``class N`` otherwise."""
+    if k == len(VOC_LABELS):
+        return VOC_LABELS
+    return tuple(f"class {i}" for i in range(k))
+
+
+@jax.jit
+def class_histogram(scores_khw: jax.Array) -> jax.Array:
+    """(K, H, W) scores -> (K,) int32 pixel counts of the argmax mask —
+    the device-side stat behind frontend class captions."""
+    k = scores_khw.shape[0]
+    mask = jnp.argmax(scores_khw, axis=0).reshape(-1)
+    return jnp.zeros((k,), jnp.int32).at[mask].add(1)
+
 
 @partial(jax.jit, static_argnames=("apply_softmax",))
 def color_code(scores_khw: jax.Array, palette: jax.Array | None = None,

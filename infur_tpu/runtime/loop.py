@@ -103,6 +103,8 @@ def proc_loop(ctrl_rx: "queue.Queue[AppCmd | None]",
                             frame.decoded = _np.asarray(frame.decoded)
                         if frame.composited is not None:
                             frame.composited = _np.asarray(frame.composited)
+                        if frame.class_counts is not None:
+                            frame.class_counts = _np.asarray(frame.class_counts)
             except InfurError as e:
                 frame_tx.put(e)
                 continue

@@ -68,7 +68,8 @@ input[type=text]{width:24rem;background:#222;color:#dde;border:1px solid #444}
   onchange="upimg(this.files[0])"></div>
 <div class=row><input type=text id=model placeholder="model (.onnx | fcn_resnet50)">
  <button onclick="cmd({model:document.getElementById('model').value})">load</button></div>
-<div class=row id=stats></div><div class=row id=status></div>
+<div class=row id=stats></div><div class=row id=classes></div>
+<div class=row id=status></div>
 <div class=row id=errors></div>
 <script>
 async function cmd(c){await fetch('/cmd',{method:'POST',body:JSON.stringify(c)})}
@@ -84,6 +85,12 @@ document.getElementById('scale').onchange=e=>cmd({scale:+e.target.value});
 setInterval(async()=>{const s=await(await fetch('/state')).json();
   document.getElementById('stats').textContent=
     `shown ${s.shown_fps.toFixed(1)} fps · recv ${s.received_fps.toFixed(1)} · drops ${s.drops.toFixed(1)}`;
+  const cl=document.getElementById('classes'); cl.replaceChildren();
+  (s.classes||[]).forEach(c=>{
+    const chip=document.createElement('span');
+    chip.style.cssText=`border-left:0.8rem solid rgb(${c.rgb});`+
+      'padding:0 .3rem;margin-right:.5rem';
+    chip.textContent=`${c.name} ${c.pct}%`; cl.append(chip)});
   const status=document.getElementById('status'); status.replaceChildren();
   Object.entries(s.stages).forEach(([k,v],i)=>{
     if(i) status.append(' · ');
@@ -120,6 +127,7 @@ class ViewerState:
         self.stages: dict[str, str] = {}
         self.errors: deque[str] = deque(maxlen=8)  # fading history (gui.rs:308)
         self.info: AppInfo | None = None
+        self.classes: list[dict] = []  # caption chips (reference README todo)
         self.running = True
 
     def pump(self) -> None:
@@ -160,6 +168,7 @@ class ViewerState:
                     self.errors.appendleft(
                         f"{time.strftime('%H:%M:%S')} display: {e}")
                 continue
+            chips = self._class_chips(frame.class_counts)
             with self.new_frame:
                 self.frame_arr = arr
                 self.seq += 1
@@ -167,8 +176,31 @@ class ViewerState:
                     self.jpeg, self.jpeg_seq = jpeg, self.seq
                 self.counter.count(frame.id)
                 self.stages.pop("video", None)
+                if chips is not None:
+                    self.classes = chips
                 self.new_frame.notify_all()
             self._drain_ctrl()
+
+    @staticmethod
+    def _class_chips(counts) -> list[dict] | None:
+        """Top predicted classes as caption chips: name, pixel share, and
+        the palette color the mask paints them with."""
+        if counts is None:
+            return None
+        from infur_tpu.ops.colorcode import _DEFAULT_PALETTE, class_labels
+        counts = np.asarray(counts)
+        total = max(int(counts.sum()), 1)
+        names = class_labels(len(counts))
+        order = np.argsort(counts)[::-1]
+        chips = []
+        for k in order[:6]:
+            if counts[k] == 0:
+                break
+            rgb = _DEFAULT_PALETTE[int(k) % len(_DEFAULT_PALETTE)]
+            chips.append({"name": names[int(k)],
+                          "pct": round(100.0 * int(counts[k]) / total, 1),
+                          "rgb": [int(v) for v in rgb]})
+        return chips
 
     @staticmethod
     def _encode_jpeg(arr) -> bytes:
@@ -240,6 +272,7 @@ class ViewerState:
                 "drops": stats.drops if stats else 0.0,
                 "stages": dict(self.stages),
                 "errors": list(self.errors),
+                "classes": list(self.classes),
                 "info": None if info is None else {
                     "scale": info.scale, "playing": info.playing,
                     "paused": info.paused,

@@ -80,3 +80,14 @@ def test_palette_distinct():
     pal = make_palette()
     assert pal.shape == (20, 3)
     assert len({tuple(c) for c in pal}) == 20
+
+
+def test_class_histogram_and_labels(rng):
+    from infur_tpu.ops.colorcode import class_histogram, class_labels
+    scores = rng.normal(size=(5, 8, 9)).astype(np.float32)
+    counts = np.asarray(class_histogram(scores))
+    assert counts.sum() == 8 * 9
+    np.testing.assert_array_equal(
+        counts, np.bincount(scores.argmax(0).ravel(), minlength=5))
+    assert class_labels(21)[15] == "person"
+    assert class_labels(5) == tuple(f"class {i}" for i in range(5))

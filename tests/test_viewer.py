@@ -289,3 +289,20 @@ def test_image_upload_plays_still(viewer_url, tmp_path, rng):
             break
         time.sleep(0.2)
     assert size == (30, 20)
+
+
+def test_class_caption_chips(viewer_url):
+    """With a model loaded, /state carries class-caption chips (name, pixel
+    share, palette color) — the reference README's captions todo."""
+    _post(viewer_url, {"model": "lraspp"})
+    deadline = time.time() + 60
+    classes = []
+    while time.time() < deadline:
+        classes = json.loads(_get(viewer_url, "/state")).get("classes", [])
+        if classes:
+            break
+        time.sleep(0.3)
+    assert classes, "no class chips after 60s"
+    top = classes[0]
+    assert set(top) == {"name", "pct", "rgb"}
+    assert 0 < top["pct"] <= 100 and len(top["rgb"]) == 3
