@@ -170,11 +170,48 @@ def _apply_overrides(pp: PreProc, ov: dict[str, str]) -> PreProc:
     return dataclasses.replace(pp, **changes) if changes else pp
 
 
+def _metadata_overrides(meta: dict[str, str]) -> dict[str, str]:
+    """ONNX image-category metadata -> preprocess overrides (the reference's
+    "meta-data aware image pre-processing" README todo, done).
+
+    Keys per onnx/docs/MetadataProps.md: ``Image.BitmapPixelFormat``
+    (Rgb8/Bgr8) sets the channel order; ``Image.NominalPixelRange`` sets
+    the value mapping (NominalRange_0_255 = raw bytes as floats,
+    Normalized_0_1 = /255, Normalized_1_1 = /255 then (x-.5)/.5).
+    Explicit spec-query overrides still win over metadata; metadata wins
+    over the signature heuristic.
+    """
+    ov: dict[str, str] = {}
+    fmt = meta.get("Image.BitmapPixelFormat", "").lower()
+    if fmt == "rgb8":
+        ov["order"] = "rgb"
+    elif fmt == "bgr8":
+        ov["order"] = "bgr"
+    rng = meta.get("Image.NominalPixelRange", "")
+    if rng == "NominalRange_0_255":
+        ov["norm"] = "none"
+    elif rng == "Normalized_0_1":
+        ov["norm"] = "unit"
+    elif rng == "Normalized_1_1":
+        ov["mean"] = "0.5,0.5,0.5"
+        ov["std"] = "0.5,0.5,0.5"
+    return ov
+
+
 class _OnnxBackend:
     def __init__(self, spec: str, overrides: dict[str, str] | None = None):
         from infur_tpu.onnx import import_model
-        self.overrides = overrides or {}
         self.imported = import_model(spec)
+        # precedence: explicit spec-query > model metadata > heuristic.
+        # A query-level norm= replaces metadata's whole value mapping
+        # (mean/std included), not just the norm key.
+        merged = _metadata_overrides(self.imported.metadata)
+        query = overrides or {}
+        if "norm" in query:
+            merged.pop("mean", None)
+            merged.pop("std", None)
+        merged.update(query)
+        self.overrides = merged
         vi = self.imported.input_info
         if len(vi) != 1:
             raise ModelInputFormatError(

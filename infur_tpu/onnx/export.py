@@ -80,5 +80,9 @@ class GraphBuilder:
     def graph(self) -> GraphProto:
         return self._g
 
-    def model(self, opset: int = 13) -> ModelProto:
-        return make_model(self._g, opset=opset)
+    def model(self, opset: int = 13,
+              metadata: dict[str, str] | None = None) -> ModelProto:
+        """``metadata``: ModelProto metadata_props — e.g. the ONNX image
+        category keys (Image.BitmapPixelFormat / Image.NominalPixelRange)
+        that drive metadata-aware preprocessing in the model stage."""
+        return make_model(self._g, opset=opset, metadata=metadata)

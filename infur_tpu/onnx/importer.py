@@ -945,6 +945,8 @@ class ImportedModel:
     input_info: list[ValueInfoProto]
     output_names: list[str]
     graph: GraphProto
+    #: ModelProto metadata_props (e.g. ONNX image-category keys)
+    metadata: dict[str, str] = field(default_factory=dict)
     jitted: Callable = field(init=False)
 
     def __post_init__(self):
@@ -967,7 +969,8 @@ def graph_opset(model: ModelProto) -> int:
 
 
 def import_graph(graph: GraphProto, *, opset: int = 13,
-                 matmul_precision: str = "highest") -> ImportedModel:
+                 matmul_precision: str = "highest",
+                 metadata: dict[str, str] | None = None) -> ImportedModel:
     """Lower an ONNX graph to a jitted JAX callable.
 
     ``matmul_precision`` feeds ``jax.default_matmul_precision`` around the
@@ -1061,7 +1064,8 @@ def import_graph(graph: GraphProto, *, opset: int = 13,
         return {n: env[n] for n in output_names}
 
     return ImportedModel(fn=fn, params=params, input_info=input_info,
-                         output_names=output_names, graph=graph)
+                         output_names=output_names, graph=graph,
+                         metadata=dict(metadata or {}))
 
 
 def import_model(model_or_path: ModelProto | str | bytes, *,
@@ -1071,4 +1075,5 @@ def import_model(model_or_path: ModelProto | str | bytes, *,
     if model.graph is None:
         raise ModelLoadError("model has no graph")
     return import_graph(model.graph, opset=graph_opset(model),
-                        matmul_precision=matmul_precision)
+                        matmul_precision=matmul_precision,
+                        metadata=model.metadata())

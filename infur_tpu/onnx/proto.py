@@ -522,6 +522,14 @@ class OperatorSetId(Message):
     ]
 
 
+class StringStringEntryProto(Message):
+    """metadata_props entries (onnx.proto StringStringEntryProto)."""
+    FIELDS = [
+        Field(1, "key", "string"),
+        Field(2, "value", "string"),
+    ]
+
+
 class ModelProto(Message):
     FIELDS = [
         Field(1, "ir_version", "int64"),
@@ -530,7 +538,12 @@ class ModelProto(Message):
         Field(5, "model_version", "int64"),
         Field(7, "graph", GraphProto),
         Field(8, "opset_import", OperatorSetId, repeated=True),
+        Field(14, "metadata_props", StringStringEntryProto, repeated=True),
     ]
+
+    def metadata(self) -> dict[str, str]:
+        return {e.key: e.value for e in self.metadata_props
+                if e.key is not None}
 
 
 def load_model(path_or_bytes: str | bytes) -> ModelProto:
@@ -552,6 +565,10 @@ def save_model(model: ModelProto, path_or_file: str | BinaryIO) -> None:
 
 
 def make_model(graph: GraphProto, opset: int = 13,
-               producer: str = "infur-tpu") -> ModelProto:
+               producer: str = "infur-tpu",
+               metadata: dict[str, str] | None = None) -> ModelProto:
+    props = [StringStringEntryProto(key=k, value=v)
+             for k, v in (metadata or {}).items()]
     return ModelProto(ir_version=8, producer_name=producer, graph=graph,
-                      opset_import=[OperatorSetId(domain="", version=opset)])
+                      opset_import=[OperatorSetId(domain="", version=opset)],
+                      metadata_props=props)

@@ -189,3 +189,53 @@ def test_family_apply_opts_flash():
     assert st._backend.apply_kwargs == {"attn_impl": "flash"}
     with pytest.raises(ModelLoadError):
         ModelStage().control(Load("lraspp:flash"))
+
+
+def test_metadata_aware_preprocessing(tmp_path):
+    """ONNX image-category metadata drives preprocessing (the reference's
+    "meta-data aware pre-processing choices" README todo): BitmapPixelFormat
+    sets channel order, NominalPixelRange the value mapping; explicit spec
+    queries still win."""
+    from infur_tpu.model_stage import Load, ModelStage
+    from infur_tpu.onnx import GraphBuilder
+    from infur_tpu.onnx.proto import load_model
+
+    g = GraphBuilder("meta")
+    x = g.input("x", np.float32, (1, 3, 8, 8))
+    g.output(g.node("Relu", [x], outputs=["out"]), np.float32, (1, 3, 8, 8))
+    model = g.model(metadata={"Image.BitmapPixelFormat": "Bgr8",
+                              "Image.NominalPixelRange": "Normalized_1_1"})
+    p = tmp_path / "meta.onnx"
+    p.write_bytes(model.encode())
+    # metadata round-trips the wire format
+    assert load_model(str(p)).metadata() == {
+        "Image.BitmapPixelFormat": "Bgr8",
+        "Image.NominalPixelRange": "Normalized_1_1"}
+
+    st = ModelStage()
+    st.control(Load(str(p)))
+    pp = st._backend.preproc((8, 8))
+    assert pp.channel_order == "bgr"          # metadata beat the heuristic
+    assert pp.mean == (0.5, 0.5, 0.5) and pp.std == (0.5, 0.5, 0.5)
+
+    st2 = ModelStage()
+    st2.control(Load(f"{p}?order=rgb&norm=unit"))   # query beats metadata
+    pp2 = st2._backend.preproc((8, 8))
+    assert pp2.channel_order == "rgb"
+    assert pp2.mean == (0.0, 0.0, 0.0) and pp2.std == (1.0, 1.0, 1.0)
+
+
+def test_metadata_nominal_range_0_255(tmp_path):
+    from infur_tpu.model_stage import Load, ModelStage
+    from infur_tpu.onnx import GraphBuilder
+    g = GraphBuilder("meta2")
+    x = g.input("x", np.float32, (1, 3, 4, 4))
+    g.output(g.node("Relu", [x], outputs=["out"]), np.float32, (1, 3, 4, 4))
+    p = tmp_path / "meta2.onnx"
+    p.write_bytes(g.model(metadata={
+        "Image.NominalPixelRange": "NominalRange_0_255"}).encode())
+    st = ModelStage()
+    st.control(Load(str(p)))
+    pp = st._backend.preproc((4, 4))
+    assert pp.mean == (0.0, 0.0, 0.0)
+    assert pp.std == (1.0 / 255.0,) * 3  # raw 0..255 floats
