@@ -287,9 +287,12 @@ extern "C" {
 
 // Open: argv-style inputs; ring_depth frames of read-ahead (>=1);
 // pix_fmt "bgr24" (3 B/px) or "yuv420p" (1.5 B/px, decode-native planar);
-// header_timeout_ms <= 0 selects the default 10 s (decoder.rs:89-111).
+// header_timeout_ms <= 0 selects the default 10 s (decoder.rs:89-111);
+// start_secs > 0 emits an input-side "-ss" (fast seek) before each -i —
+// the player's Seek support for pipe sources (reopen-at-offset).
 int ffp_open(const char** inputs, int n_inputs, int ring_depth,
-             const char* pix_fmt, int header_timeout_ms, ffp_handle** out) {
+             const char* pix_fmt, int header_timeout_ms, double start_secs,
+             ffp_handle** out) {
   if (!inputs || n_inputs <= 0 || !out || ring_depth < 1) return FFP_EARG;
   if (header_timeout_ms <= 0) header_timeout_ms = kDefaultHeaderTimeoutMs;
   if (!pix_fmt) pix_fmt = "bgr24";
@@ -297,7 +300,13 @@ int ffp_open(const char** inputs, int n_inputs, int ring_depth,
   if (!yuv && strcmp(pix_fmt, "bgr24") != 0) return FFP_EARG;
 
   std::vector<std::string> args = {"ffmpeg", "-hide_banner"};
+  char ss[32] = {0};
+  if (start_secs > 0) snprintf(ss, sizeof ss, "%.3f", start_secs);
   for (int i = 0; i < n_inputs; ++i) {
+    if (ss[0]) {
+      args.push_back("-ss");
+      args.push_back(ss);
+    }
     args.push_back("-i");
     args.push_back(inputs[i]);
   }

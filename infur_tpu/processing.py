@@ -169,11 +169,23 @@ class VideoPlayer(Processor[VideoCmd, None, Frame]):
     def _seek_to(self, index: int) -> None:
         from infur_tpu.errors import ControlError
         seek = getattr(self._vid, "seek", None)
-        if seek is None:
-            raise ControlError(
-                "this source is not seekable (pipe decoders have no "
-                "position; RVF/synth/image sources seek)")
-        self._last_id = seek(max(index, 0))
+        if seek is not None:
+            self._last_id = seek(max(index, 0))
+            self._step_once = True
+            return
+        # pipe decoders (ffmpeg) have no stream position: seek by
+        # reopening at an input-side -ss offset.  The frame counter
+        # restarts at 1 (a pipe has no global index), like a Play.
+        fps = self._vid.fps or 30.0
+        pix = getattr(self._vid, "pix_fmt", "bgr24")
+        try:
+            new = open_video(self.inputs, pix_fmt=pix,
+                             start_secs=max(index, 0) / fps)
+        except Exception as e:
+            raise ControlError(f"seek-by-reopen failed: {e}") from e
+        self._close_video()
+        self._vid = new
+        self._last_id = 0
         self._step_once = True
 
     def control(self, cmd: VideoCmd) -> "VideoPlayer":

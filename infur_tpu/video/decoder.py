@@ -117,13 +117,17 @@ def frame_nbytes(pix_fmt: str, w: int, h: int) -> int:
     raise VideoStartError(f"unsupported pix_fmt {pix_fmt!r}")
 
 
-def ffmpeg_args(inputs: Sequence[str], pix_fmt: str = "bgr24") -> list[str]:
+def ffmpeg_args(inputs: Sequence[str], pix_fmt: str = "bgr24",
+                start_secs: float = 0.0) -> list[str]:
     """The rawvideo-pipe command line (same contract as decoder.rs:32-37).
 
     ``pix_fmt="yuv420p"`` ships decode-native planar frames at half the
-    bytes; the device converts (infur_tpu.ops.yuv)."""
+    bytes; the device converts (infur_tpu.ops.yuv).  ``start_secs`` > 0
+    adds an input-side ``-ss`` (fast seek) — the pipe path's Seek."""
     args = ["ffmpeg", "-hide_banner"]
     for inp in inputs:
+        if start_secs > 0:
+            args += ["-ss", f"{start_secs:.3f}"]
         args += ["-i", inp]
     args += ["-an", "-f", "image2pipe", "-fflags", "nobuffer",
              "-pix_fmt", pix_fmt, "-c:v", "rawvideo", "pipe:1"]
@@ -141,9 +145,10 @@ class FfmpegPipeDecoder:
     """
 
     def __init__(self, inputs: Sequence[str], _argv: Sequence[str] | None = None,
-                 pix_fmt: str = "bgr24"):
+                 pix_fmt: str = "bgr24", start_secs: float = 0.0):
         self.pix_fmt = pix_fmt
-        argv = list(_argv) if _argv is not None else ffmpeg_args(inputs, pix_fmt)
+        argv = list(_argv) if _argv is not None \
+            else ffmpeg_args(inputs, pix_fmt, start_secs)
         try:
             self._proc = subprocess.Popen(
                 argv, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
@@ -249,12 +254,14 @@ def have_ffmpeg() -> bool:
     return shutil.which("ffmpeg") is not None
 
 
-def open_video(inputs: Sequence[str],
-               pix_fmt: str = "bgr24") -> VideoDecoder:
+def open_video(inputs: Sequence[str], pix_fmt: str = "bgr24",
+               start_secs: float = 0.0) -> VideoDecoder:
     """Open any supported source; see module docstring for dispatch rules.
 
     ``pix_fmt="yuv420p"`` requests decode-native planar frames.  RVF files
-    serve their stored format regardless (the container dictates)."""
+    serve their stored format regardless (the container dictates).
+    ``start_secs`` applies to ffmpeg pipe sources (input-side -ss); the
+    natively seekable sources use their ``seek`` method instead."""
     if not inputs:
         raise VideoStartError("no video input given")
     first = inputs[0]
@@ -273,7 +280,8 @@ def open_video(inputs: Sequence[str],
     try:
         from infur_tpu.video.ffpipe import FfpipeDecoder, have_ffpipe
         if have_ffpipe():
-            return FfpipeDecoder(inputs, pix_fmt=pix_fmt)
+            return FfpipeDecoder(inputs, pix_fmt=pix_fmt,
+                                 start_secs=start_secs)
     except ImportError:
         pass
-    return FfmpegPipeDecoder(inputs, pix_fmt=pix_fmt)
+    return FfmpegPipeDecoder(inputs, pix_fmt=pix_fmt, start_secs=start_secs)

@@ -48,6 +48,7 @@ def _load():
         lib = ctypes.CDLL(_SO)
         lib.ffp_open.argtypes = [ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
                                  ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+                                 ctypes.c_double,
                                  ctypes.POINTER(ctypes.c_void_p)]
         lib.ffp_open.restype = ctypes.c_int
         lib.ffp_geometry.argtypes = [ctypes.c_void_p,
@@ -93,9 +94,10 @@ class FfpipeDecoder:
     RING_DEPTH = 3
 
     def __init__(self, inputs: Sequence[str], pix_fmt: str = "bgr24",
-                 header_timeout_ms: int = 0):
+                 header_timeout_ms: int = 0, start_secs: float = 0.0):
         """``header_timeout_ms`` <= 0 selects the native default (10 s,
-        decoder.rs:89-111); tests shrink it to exercise the timeout path."""
+        decoder.rs:89-111); tests shrink it to exercise the timeout path.
+        ``start_secs`` > 0 opens at an offset (input-side -ss fast seek)."""
         lib = _load()
         if lib is None:
             raise VideoStartError("ffpipe native library unavailable")
@@ -106,7 +108,7 @@ class FfpipeDecoder:
         handle = ctypes.c_void_p()
         rc = lib.ffp_open(arr, len(inputs), self.RING_DEPTH,
                           pix_fmt.encode(), int(header_timeout_ms),
-                          ctypes.byref(handle))
+                          float(start_secs), ctypes.byref(handle))
         if rc != FFP_OK:
             raise VideoStartError(
                 {FFP_ESPAWN: "cannot spawn ffmpeg",

@@ -26,9 +26,12 @@ def main() -> int:
     argv = sys.argv[1:]
     inputs = [argv[i + 1] for i, a in enumerate(argv[:-1]) if a == "-i"]
     pix_fmt = "bgr24"
+    start_secs = 0.0
     for i, a in enumerate(argv[:-1]):
         if a == "-pix_fmt":
             pix_fmt = argv[i + 1]
+        if a == "-ss":  # input-side fast seek, like real ffmpeg
+            start_secs = float(argv[i + 1])
     spec = inputs[-1] if inputs else ""
     m = re.match(r"shim:(\d+)x(\d+)@([\d.]+):(\d+)((?::\w+)*)$", spec)
     if not m:
@@ -59,7 +62,8 @@ def main() -> int:
 
     out = sys.stdout.buffer
     frame = bytearray(nbytes)
-    for i in range(count):
+    start = int(round(start_secs * fps))  # -ss skips whole frames
+    for i in range(start, count):
         # deterministic content: every byte = (frame_index + offset) % 256
         for j in range(0, len(frame), 4096):
             chunk = bytes(((i + k) % 256) for k in range(j, min(j + 4096, len(frame))))

@@ -185,3 +185,39 @@ def test_native_pipe_yuv420p(ffmpeg_on_path):
     assert buf.shape == (32 * 24 * 3 // 2,)
     assert d.read_frame_into(buf) == 1
     d.close()
+
+
+class TestPipeSeek:
+    """Seek on pipe sources = reopen with an input-side -ss (real ffmpeg
+    semantics, spoken by the shim): the stream restarts at the offset."""
+
+    def test_python_decoder_start_secs(self, ffmpeg_on_path):
+        d = FfmpegPipeDecoder(["shim:32x24@10:50"], start_secs=2.0)
+        buf = d.empty_image()
+        assert d.read_frame_into(buf) == 1  # pipe counter restarts
+        np.testing.assert_array_equal(buf, _expected_frame(20, 32, 24))
+        d.close()
+
+    def test_native_decoder_start_secs(self, ffmpeg_on_path):
+        from infur_tpu.video.ffpipe import FfpipeDecoder, have_ffpipe
+        if not have_ffpipe():
+            pytest.skip("no native toolchain")
+        d = FfpipeDecoder(["shim:32x24@10:50"], start_secs=3.0)
+        buf = d.empty_image()
+        d.read_frame_into(buf)
+        np.testing.assert_array_equal(buf, _expected_frame(30, 32, 24))
+        d.close()
+
+    def test_player_seek_reopens_pipe(self, ffmpeg_on_path):
+        from infur_tpu.processing import Cell, Play, Seek, VideoPlayer
+        vp = VideoPlayer()
+        vp.control(Play(["shim:32x24@10:50"]))
+        cell = Cell()
+        assert vp.advance(None, cell)
+        np.testing.assert_array_equal(cell.value.img,
+                                      _expected_frame(0, 32, 24))
+        vp.control(Seek(2.0))
+        assert vp.advance(None, cell)
+        np.testing.assert_array_equal(cell.value.img,
+                                      _expected_frame(20, 32, 24))
+        vp.close()
