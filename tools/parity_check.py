@@ -45,10 +45,18 @@ def main() -> int:
              for _ in range(3)]
     lraspp_q = quantize_static(fold_batchnorm(lraspp_to_onnx(lp)), calib)
 
+    # third architecture: int8 SegFormer — the quantized TRANSFORMER
+    # (QLinearMatMul dense layers, f32 attention/LN islands between
+    # quantized regions)
+    from infur_tpu.models.segformer import init_segformer, segformer_to_onnx
+    sp = init_segformer(_jax.random.PRNGKey(4), num_classes=21)
+    segformer_q = quantize_static(segformer_to_onnx(sp, (h, w)), calib)
+
     ok = True
     for name, path in (("fcn_resnet50_f32", fcn_resnet50_onnx(args.root)),
                        ("fcn_resnet50_int8", fcn_resnet50_int8_onnx(args.root)),
-                       ("lraspp_mnv3_int8", lraspp_q)):
+                       ("lraspp_mnv3_int8", lraspp_q),
+                       ("segformer_b0_int8", segformer_q)):
         model = path if not isinstance(path, str) else load_model(path)
         want = run_model(model, feed)["out"]
         got = np.asarray(import_model(model)(feed)["out"])
@@ -66,17 +74,25 @@ def main() -> int:
             gap = float(np.abs(want[b, wm[b, y, x], y, x]
                                - want[b, gm[b, y, x], y, x]).max())
         non_tie_exact = not mism.any() or gap < 1e-4
-        # int8: the fixed-point requant (onnx/requant.py) makes the whole
-        # quantized graph platform-exact — demand ZERO non-tie mask
-        # mismatches on every backend and logits within f32 noise
-        # (round-2 bar; the reference's analog golden check is
-        # infur/src/predict_onnx.rs:371-381).  The only float ops left are
-        # the post-dequant bilinear Resize tail, which carries ulp-level
-        # FMA/reassociation noise on TPU — hence the 1e-6 logit ceiling
-        # rather than 0.  f32: bit-for-bit modulo conv accumulation order,
-        # pinned at 0.999 agreement.
-        passed = (non_tie_exact and dev < 1e-6 and agree > 0.9999) \
-            if "int8" in name else agree >= 0.999
+        # Criteria by architecture class:
+        # * fully-integer int8 CNNs (FCN, LRASPP): the fixed-point requant
+        #   (onnx/requant.py) makes the whole quantized graph
+        #   platform-exact — ZERO non-tie mask mismatches, logits within
+        #   f32 noise of the post-dequant Resize tail (round-2 bar; the
+        #   reference's analog golden check is predict_onnx.rs:371-381).
+        # * int8 transformer (SegFormer): QLinearMatMul regions are
+        #   integer-exact but the f32 LayerNorm/Softmax/attention islands
+        #   BETWEEN them are not platform-exact (XLA FMA/reassociation),
+        #   and their outputs feed QuantizeLinear boundaries where an ulp
+        #   flips an int — mixed-precision graphs get the f32-style mask
+        #   bar, not the bit-exact one (CPU is bit-exact: test_quantize).
+        # * f32: bit-for-bit modulo conv accumulation order, 0.999 bar.
+        if name == "segformer_b0_int8":
+            passed = agree >= 0.995
+        elif "int8" in name:
+            passed = non_tie_exact and dev < 1e-6 and agree > 0.9999
+        else:
+            passed = agree >= 0.999
         ok &= passed
         print(json.dumps({"model": name, "rel_max_dev": round(dev, 9),
                           "mask_agreement": round(agree, 6),
