@@ -248,9 +248,12 @@ class _NativeBackend:
         self.apply_kwargs: dict[str, str] = {}
         variant = None
         mesh_spec = None
+        int8 = False
         for o in opts:
             if o == "bf16":
                 self.compute_dtype = "bfloat16"
+            elif o == "int8" and family.to_onnx is not None:
+                int8 = True
             elif o.startswith("mesh="):
                 mesh_spec = o[5:]
             elif o in family.variants:
@@ -260,7 +263,9 @@ class _NativeBackend:
             else:
                 raise ModelLoadError(
                     f"unknown option {o!r} for {family.name} "
-                    f"(expected bf16, mesh=MxS, one of {sorted(family.variants)}"
+                    f"(expected bf16"
+                    f"{', int8' if family.to_onnx is not None else ''}"
+                    f", mesh=MxS, one of {sorted(family.variants)}"
                     f"{' or ' + '/'.join(sorted(family.apply_opts)) if family.apply_opts else ''})")
         if ckpt:
             self.params = _load_ckpt(family.name, ckpt)
@@ -272,8 +277,28 @@ class _NativeBackend:
         self.output_names = family.outputs(self.params)
         self.mesh = None
         self._x_sharding = None
+        self._int8 = None
+        if int8:
+            if self.compute_dtype != "float32" or mesh_spec:
+                raise ModelLoadError("int8 excludes bf16/mesh= opts")
+            self._quantize_int8(family)
         if mesh_spec:
             self._setup_mesh(mesh_spec)
+
+    def _quantize_int8(self, family: "_Family") -> None:
+        """``family:int8``: export -> fold BN -> static-quantize (synthetic
+        calibration) -> import.  The resulting executable runs the int8
+        QLinear graph on the MXU; fidelity contract = the quantizer's
+        (oracle-bit-exact ops, calibration on synthetic stats)."""
+        from infur_tpu.onnx import import_model
+        from infur_tpu.onnx.passes import fold_batchnorm
+        from infur_tpu.onnx.quantize import quantize_static
+        model = fold_batchnorm(family.to_onnx(self.params))
+        rng = np.random.default_rng(0)
+        calib = [{"input": (rng.normal(size=(1, 3, 96, 96)) * 0.6)
+                  .astype(np.float32)} for _ in range(3)]
+        self._int8 = import_model(quantize_static(model, calib))
+        self.np_dtype = np.dtype(np.float32)  # graph I/O stays f32
 
     def _setup_mesh(self, mesh_spec: str) -> None:
         """``mesh=MxS``: shard this model over an (M tensor) x (S spatial)
@@ -303,12 +328,16 @@ class _NativeBackend:
             self._x_sharding = NamedSharding(self.mesh, P(None, "spatial"))
 
     def preproc(self, out_hw: tuple[int, int]) -> PreProc:
+        layout = "NCHW" if self._int8 is not None else "NHWC"
         return _apply_overrides(
-            PreProc.imagenet(out_hw, layout="NHWC", channel_order="rgb",
+            PreProc.imagenet(out_hw, layout=layout, channel_order="rgb",
                              compute_dtype=self.compute_dtype),
             self.overrides)
 
     def __call__(self, x: jax.Array) -> dict[str, jax.Array]:
+        if self._int8 is not None:
+            name = self._int8.input_info[0].name
+            return self._int8({name: x})
         if self._x_sharding is not None \
                 and x.shape[1] % self.mesh.shape["spatial"] == 0:
             x = jax.device_put(x, self._x_sharding)
@@ -346,6 +375,9 @@ class _Family:
         lambda p: ("out", "aux") if "aux_head" in p else ("out",))
     #: extra spec opts -> apply() kwarg, e.g. "flash" -> fused Pallas attention
     apply_opts: Any = field(default_factory=dict)
+    #: params -> ModelProto exporter enabling the ``:int8`` opt (dynamic-size
+    #: graphs only; SegFormer's export is static-shape so it opts out)
+    to_onnx: Any = None
 
 
 def _families() -> dict[str, _Family]:
@@ -356,10 +388,12 @@ def _families() -> dict[str, _Family]:
     return {
         "fcn_resnet50": _Family(
             "fcn_resnet50", lambda k, v: init_fcn_resnet50(k),
-            fcn_resnet50_apply),
+            fcn_resnet50_apply,
+            to_onnx=staticmethod(lambda p: _fcn_to_onnx_lazy(p))),
         "deeplabv3": _Family(
             "deeplabv3", lambda k, v: init_deeplabv3_resnet50(k),
-            deeplabv3_apply),
+            deeplabv3_apply,
+            to_onnx=staticmethod(lambda p: _deeplab_to_onnx_lazy(p))),
         "segformer": _Family(
             "segformer",
             lambda k, v: init_segformer(k, variant=v or "b0"),
@@ -375,8 +409,24 @@ def _families() -> dict[str, _Family]:
         "lraspp": _Family(
             "lraspp", lambda k, v: _init_lraspp_lazy(k),
             _lraspp_apply_lazy,
-            outputs=staticmethod(lambda p: ("out",))),
+            outputs=staticmethod(lambda p: ("out",)),
+            to_onnx=staticmethod(lambda p: _lraspp_to_onnx_lazy(p))),
     }
+
+
+def _fcn_to_onnx_lazy(p):
+    from infur_tpu.models.fcn_resnet50 import fcn_resnet50_to_onnx
+    return fcn_resnet50_to_onnx(p, (0, 0))  # dynamic-size graph
+
+
+def _deeplab_to_onnx_lazy(p):
+    from infur_tpu.models.deeplabv3 import deeplabv3_to_onnx
+    return deeplabv3_to_onnx(p)
+
+
+def _lraspp_to_onnx_lazy(p):
+    from infur_tpu.models.lraspp_mobilenetv3 import lraspp_to_onnx
+    return lraspp_to_onnx(p)
 
 
 def _init_lraspp_lazy(k):

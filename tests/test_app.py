@@ -394,3 +394,38 @@ class TestSeekStep:
         app.control(Step(50))       # way past the end
         assert app.generate() is None  # EOF during skip: silent close
         app.close()
+
+
+def test_native_int8_spec():
+    """`lraspp:int8` builds the quantized executable from native params
+    (export -> fold BN -> static quantize -> import), runs through the
+    normal pipeline, and matches the NumPy oracle bit-exactly (the int8
+    fidelity contract; int8-vs-f32 mask deltas are meaningless on
+    random-init weights whose logits are near-tied)."""
+    from infur_tpu.onnx import run_model
+    from infur_tpu.onnx.proto import make_model
+
+    app = ProcessingApp()
+    app.control(Play(synth(48, 32)))
+    app.control(ScaleCmd(1.0))
+    app.control(ModelCmd("lraspp:int8"))
+    f = app.generate()
+    assert f.composited is not None
+    pred = app.pred.value.primary
+    assert pred.shape == (21, 32, 48)
+    backend = app.model._backend
+    x = np.random.default_rng(9).normal(size=(1, 3, 32, 48)) \
+        .astype(np.float32)
+    name = backend._int8.input_info[0].name
+    got = np.asarray(backend._int8({name: x})["out"])
+    want = run_model(make_model(backend._int8.graph), {name: x})["out"]
+    np.testing.assert_array_equal(got, want)  # executors bit-exact
+    app.close()
+
+
+def test_int8_excludes_other_compute_opts():
+    from infur_tpu.model_stage import Load, ModelStage
+    with pytest.raises(ModelLoadError):
+        ModelStage().control(Load("lraspp:int8:bf16"))
+    with pytest.raises(ModelLoadError):  # segformer has no dynamic export
+        ModelStage().control(Load("segformer:int8"))
