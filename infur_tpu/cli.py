@@ -260,6 +260,52 @@ def cmd_eval(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_finetune(args: argparse.Namespace) -> int:
+    """Finetune a native family on a dataset (.npz with images/labels u8,
+    or a directory with images/ + labels/ pairs — infur_tpu.data)."""
+    import logging
+
+    from infur_tpu.data import Augment, batches, load_data
+    from infur_tpu.model_stage import Load, ModelStage
+    from infur_tpu.train import finetune
+
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+    try:
+        data = load_data(args.data)
+    except (OSError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    stage = ModelStage()
+    try:
+        stage.control(Load(args.model))
+    except InfurError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    backend = stage._backend
+    if getattr(backend, "params", None) is None:
+        print("error: finetune needs a native family spec", file=sys.stderr)
+        return 2
+    crop = None
+    if args.crop:
+        h, w = (int(v) for v in args.crop.split("x"))
+        crop = (h, w)
+    aug = Augment(hflip=not args.no_aug,
+                  brightness=0.0 if args.no_aug else 0.2,
+                  contrast=0.0 if args.no_aug else 0.2,
+                  crop_hw=crop)
+    data_iter = batches(data, args.batch, augment=aug, seed=args.seed)
+    params, losses = finetune(
+        lambda p, x: backend._apply(p, x), backend.params, data_iter,
+        steps=args.steps, learning_rate=args.lr,
+        lr_schedule=args.lr_schedule, warmup_steps=args.warmup,
+        checkpoint_path=args.out, state_path=args.state,
+        resume=args.resume, checkpoint_every=args.checkpoint_every)
+    if losses:
+        print(f"final loss {losses[-1]:.4f}"
+              + (f"  saved {args.out}" if args.out else ""))
+    return 0
+
+
 def cmd_testgen(args: argparse.Namespace) -> int:
     from infur_tpu.testgen import generate
     h, w = (int(v) for v in args.model_size.split("x"))
@@ -335,6 +381,31 @@ def main(argv: list[str] | None = None) -> int:
     ev.add_argument("--batch", type=int, default=8)
     ev.add_argument("--num-classes", type=int, default=None)
     ev.set_defaults(fn=cmd_eval)
+
+    ft = sub.add_parser("finetune", help="finetune a native family on a "
+                        "dataset (infur_tpu.data loaders + augmentation)")
+    ft.add_argument("model", help="native family spec (e.g. fcn_resnet50"
+                    "[@ckpt.npz])")
+    ft.add_argument("data", help=".npz (images/labels u8) or a directory "
+                    "with images/ + labels/")
+    ft.add_argument("--steps", type=int, default=100)
+    ft.add_argument("--batch", type=int, default=4)
+    ft.add_argument("--lr", type=float, default=1e-3)
+    ft.add_argument("--lr-schedule", default="poly",
+                    choices=["poly", "constant"])
+    ft.add_argument("--warmup", type=int, default=0)
+    ft.add_argument("--crop", default=None, metavar="HxW",
+                    help="random-crop size (required for mixed-size data)")
+    ft.add_argument("--no-aug", action="store_true",
+                    help="disable flip/jitter augmentation")
+    ft.add_argument("--seed", type=int, default=0)
+    ft.add_argument("--out", default=None,
+                    help="params checkpoint (loadable via family@ckpt)")
+    ft.add_argument("--state", default=None,
+                    help="full train state for --resume")
+    ft.add_argument("--resume", action="store_true")
+    ft.add_argument("--checkpoint-every", type=int, default=100)
+    ft.set_defaults(fn=cmd_finetune)
 
     tg = sub.add_parser("testgen", help="generate test fixtures "
                         "(videos + f32/int8 FCN models)")

@@ -23,7 +23,7 @@ dp/tp/sp/pp/ep sharding set.
 """
 
 from infur_tpu.parallel.mesh import (  # noqa: F401
-    make_mesh, shard_batch, shard_fcn_params, train_step,
+    make_mesh, shard_batch, shard_fcn_params, shard_params, train_step,
 )
 from infur_tpu.parallel.pipeline import (  # noqa: F401
     fcn_pipeline_params, fcn_resnet50_apply_pp, pipeline_apply,

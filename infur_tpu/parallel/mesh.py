@@ -50,15 +50,20 @@ def make_mesh(n_devices: int | None = None, model_axis: int = 1,
 
 
 def _leaf_spec(path: str, leaf: jnp.ndarray, model_size: int) -> P:
-    """Sharding rule for one FCN param leaf (path is /-joined).
+    """Sharding rule for one param leaf (path is /-joined).
 
-    Channel dims that don't divide the model axis (e.g. the 21-class head)
+    Architecture-agnostic over the native families: conv HWIO kernels and
+    dense (in, out) kernels shard their output channels over ``model``;
+    1-D per-channel vectors (BN stats, biases, LN scales) follow.  Channel
+    dims that don't divide the model axis (e.g. the 21-class head)
     replicate — GSPMD handles the mixed layout.
     """
     if leaf.ndim == 4 and leaf.shape[3] % model_size == 0:
         return P(None, None, None, "model")  # conv HWIO: shard out-channels
+    if leaf.ndim == 2 and leaf.shape[1] % model_size == 0:
+        return P(None, "model")  # dense (in, out): shard out features
     if leaf.ndim == 1 and leaf.shape[0] % model_size == 0:
-        return P("model")  # BN stats / bias follow the channel shard
+        return P("model")  # BN stats / bias / LN follow the channel shard
     return P()
 
 
@@ -70,13 +75,20 @@ def _tree_paths(tree: Any, prefix: str = "") -> Any:
     return prefix[:-1]
 
 
-def shard_fcn_params(params: Any, mesh: Mesh) -> Any:
-    """NamedSharding pytree for FCN-ResNet50 params on ``mesh``."""
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    """NamedSharding pytree for a native-family param tree on ``mesh`` —
+    conv/dense output channels over ``model``, everything else replicated
+    (see :func:`_leaf_spec`).  Works for every native family (FCN,
+    DeepLabV3, LRASPP convs; SegFormer's dense attention/FFN weights)."""
     paths = _tree_paths(params)
     model_size = mesh.shape["model"]
     return jax.tree.map(
         lambda path, leaf: NamedSharding(mesh, _leaf_spec(path, leaf, model_size)),
         paths, params)
+
+
+#: historical name (round-1 API); the rule was always channel-generic
+shard_fcn_params = shard_params
 
 
 def shard_batch(mesh: Mesh) -> NamedSharding:

@@ -170,7 +170,12 @@ class VideoPlayer(Processor[VideoCmd, None, Frame]):
         from infur_tpu.errors import ControlError
         seek = getattr(self._vid, "seek", None)
         if seek is not None:
-            self._last_id = seek(max(index, 0))
+            # seek() returns the landed 0-based index; the next read
+            # produces 1-based id landed+1.  _last_id holds 1-based ids of
+            # produced frames everywhere else, so record the id the pending
+            # read will produce — a Step(-n) arriving before that read then
+            # computes its target in the same convention.
+            self._last_id = seek(max(index, 0)) + 1
             self._step_once = True
             return
         # pipe decoders (ffmpeg) have no stream position: seek by

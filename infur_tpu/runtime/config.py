@@ -23,6 +23,11 @@ class ProcConfig:
     paused: bool = False
     model_input: str = ""
     pix_fmt: str = "bgr24"      # "yuv420p" = decode-native planar frames
+    # viewer-side UI state, persisted like eframe storage persists the
+    # whole surface (reference gui.rs:349-352): softmax-alpha checkbox and
+    # the last seek position (restored after Play on startup)
+    softmax: bool = False
+    seek_secs: float = 0.0
     # Round model input dims up to this multiple.  Default ON for the
     # interactive frontends (CLI/viewer construct their app from this
     # config): a continuous scale slider otherwise compiles one executable
@@ -50,13 +55,17 @@ class ProcConfig:
     def commands(self) -> list:
         """The startup command script (reference gui.rs:148-155 order:
         Scale, Play, Pause, Load)."""
-        from infur_tpu.app import ModelCmd, ScaleCmd
-        from infur_tpu.processing import Pause, Play
+        from infur_tpu.app import ColorCmd, ModelCmd, ScaleCmd
+        from infur_tpu.processing import Pause, Play, Seek
 
         cmds: list = [ScaleCmd(self.scale)]
         if self.video_input:
             cmds.append(Play(self.video_input, pix_fmt=self.pix_fmt))
+            if self.seek_secs > 0:
+                cmds.append(Seek(self.seek_secs))
         cmds.append(Pause(self.paused))
         if self.model_input:
             cmds.append(ModelCmd(self.model_input))
+        if self.softmax:
+            cmds.append(ColorCmd(softmax=True))
         return cmds

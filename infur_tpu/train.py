@@ -108,6 +108,8 @@ def evaluate(apply_fn: ApplyFn, params: Any,
         conf = np.bincount(idx.reshape(-1), minlength=k * k) \
             .reshape(k, k).astype(np.float64)
         total_conf = conf if total_conf is None else total_conf + conf
+    if total_conf is None:
+        raise ValueError("evaluate: no batches in data")
     tp = np.diag(total_conf)
     union = total_conf.sum(0) + total_conf.sum(1) - tp
     present = union > 0

@@ -268,6 +268,12 @@ def open_video(inputs: Sequence[str], pix_fmt: str = "bgr24",
     spec = synth_spec_from_url(first)
     if spec is not None:
         return SynthDecoder(spec, pix_fmt=pix_fmt)
+    if first.startswith("live:"):
+        from infur_tpu.video.live import resolve_live_source
+        return resolve_live_source(first)
+    if first.startswith("camera:"):
+        from infur_tpu.video.live import open_camera
+        return open_camera(first, pix_fmt=pix_fmt)
     if first.endswith(".rvf"):
         return RvfDecoder(first)
     from infur_tpu.video.image import ImageDecoder, is_image_path

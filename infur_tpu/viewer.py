@@ -45,7 +45,7 @@ from infur_tpu.runtime.metrics import FrameCounter
 
 _PAGE = """<!doctype html><html><head><title>infur-tpu</title><style>
 body{font-family:system-ui;margin:1rem;background:#14161a;color:#dde}
-img{max-width:100%;border:1px solid #333}
+img{max-width:100%;max-height:72vh;object-fit:contain;border:1px solid #333}
 .row{margin:.4rem 0}.err{color:#f88}.stage{color:#8bc}
 input[type=text]{width:24rem;background:#222;color:#dde;border:1px solid #444}
 </style></head><body>
@@ -82,6 +82,16 @@ document.getElementById('paused').onchange=e=>cmd({paused:e.target.checked});
 document.getElementById('scale').oninput=e=>{
   document.getElementById('scaleval').textContent=e.target.value};
 document.getElementById('scale').onchange=e=>cmd({scale:+e.target.value});
+// initial widget sync from the persisted surface (eframe-storage analog)
+(async()=>{const s=await(await fetch('/state')).json();const c=s.config;
+  if(!c)return;
+  document.getElementById('paused').checked=c.paused;
+  document.getElementById('softmax').checked=c.softmax;
+  document.getElementById('scale').value=c.scale;
+  document.getElementById('scaleval').textContent=c.scale;
+  document.getElementById('video').value=(c.video||[]).join(' ');
+  document.getElementById('model').value=c.model||'';
+  if(c.seek_secs)document.getElementById('seeks').value=c.seek_secs;})();
 setInterval(async()=>{const s=await(await fetch('/state')).json();
   document.getElementById('stats').textContent=
     `shown ${s.shown_fps.toFixed(1)} fps · recv ${s.received_fps.toFixed(1)} · drops ${s.drops.toFixed(1)}`;
@@ -128,7 +138,20 @@ class ViewerState:
         self.errors: deque[str] = deque(maxlen=8)  # fading history (gui.rs:308)
         self.info: AppInfo | None = None
         self.classes: list[dict] = []  # caption chips (reference README todo)
+        self.upload_path: str | None = None  # last POST /image temp file
         self.running = True
+
+    def set_upload(self, path: str | None) -> None:
+        """Track the current /image temp file; unlink the one it replaces
+        (uploads used delete=False and leaked one file per POST)."""
+        import os as _os
+        with self.lock:
+            old, self.upload_path = self.upload_path, path
+        if old and old != path:
+            try:
+                _os.unlink(old)
+            except OSError:
+                pass
 
     def pump(self) -> None:
         """Consume the frame channel (the GUI-thread role, gui.rs:169-192)."""
@@ -176,8 +199,10 @@ class ViewerState:
                     self.jpeg, self.jpeg_seq = jpeg, self.seq
                 self.counter.count(frame.id)
                 self.stages.pop("video", None)
-                if chips is not None:
-                    self.classes = chips
+                # chips is None when the frame carried no class_counts
+                # (model unloaded): clear, or the last model's caption
+                # chips would persist indefinitely
+                self.classes = chips if chips is not None else []
                 self.new_frame.notify_all()
             self._drain_ctrl()
 
@@ -263,10 +288,18 @@ class ViewerState:
                             self.stages.pop(r.stage, None)
 
     def state_json(self) -> bytes:
+        cfg = self.config
         with self.lock:
             stats = self.counter.stats()
             info = self.info
             return json.dumps({
+                # the persisted surface, for initial widget sync (the
+                # reference restores every widget from eframe storage,
+                # gui.rs:148-155)
+                "config": None if cfg is None else {
+                    "scale": cfg.scale, "paused": cfg.paused,
+                    "video": cfg.video_input, "model": cfg.model_input,
+                    "softmax": cfg.softmax, "seek_secs": cfg.seek_secs},
                 "shown_fps": stats.shown_fps if stats else 0.0,
                 "received_fps": stats.received_fps if stats else 0.0,
                 "drops": stats.drops if stats else 0.0,
@@ -306,9 +339,13 @@ class ViewerState:
         if "softmax" in c:
             from infur_tpu.app import ColorCmd
             self.handle.send(ColorCmd(softmax=bool(c["softmax"])))
+            if cfg is not None:
+                cfg.softmax = bool(c["softmax"])
         if "seek" in c:
             from infur_tpu.processing import Seek
             self.handle.send(Seek(float(c["seek"])))
+            if cfg is not None:
+                cfg.seek_secs = float(c["seek"])
         if "step" in c:
             from infur_tpu.processing import Step
             self.handle.send(Step(int(c["step"])))
@@ -353,12 +390,15 @@ def make_handler(state: ViewerState):
             Runs on this request's thread until the client disconnects or
             the viewer exits.  Concurrent streams are capped so stuck
             clients can't pin every ThreadingHTTPServer thread."""
+            # reserve the slot in the SAME critical section as the check:
+            # concurrent requests at cap-1 must not all pass the check
             with state.lock:
                 if state.stream_clients >= state.max_stream_clients:
-                    pass_503 = True
+                    reserved = False
                 else:
-                    pass_503 = False
-            if pass_503:
+                    state.stream_clients += 1
+                    reserved = True
+            if not reserved:
                 self._send(503, b"too many stream clients", "text/plain")
                 return
             self.send_response(200)
@@ -368,8 +408,6 @@ def make_handler(state: ViewerState):
             self.end_headers()
             last = 0  # pre-frame seq: waits if no frame ever arrived,
             #           sends the current frame immediately otherwise
-            with state.lock:
-                state.stream_clients += 1
             try:
                 while state.running:
                     seq, jpeg = state.wait_frame(last)
@@ -435,8 +473,10 @@ def make_handler(state: ViewerState):
                 f.write(body)
             try:
                 state.apply_cmd({"video": [f.name]})
+                state.set_upload(f.name)  # unlinks the upload it replaces
                 self._send(200, b"ok", "text/plain")
             except Exception as e:
+                state.set_upload(f.name)  # still ours to clean up
                 self._send(400, f"bad image: {e}".encode(), "text/plain")
 
     return Handler
@@ -474,6 +514,7 @@ def serve(host: str = "127.0.0.1", port: int = 8793,
             state.new_frame.notify_all()  # release blocked /stream threads
         handle.stop()
         pump.join(timeout=2)
+        state.set_upload(None)  # remove the last /image temp file
         if config is not None and config_path is not None:
             try:
                 config.save(config_path)

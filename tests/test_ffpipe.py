@@ -17,6 +17,12 @@ import pytest
 from infur_tpu.errors import VideoEOF, VideoStartError
 from infur_tpu.video.decoder import FfmpegPipeDecoder
 
+# the shim relies on shebang exec and the native decoder on posix_spawn;
+# on Windows the pure-Python decoder runs against a real ffmpeg instead
+# (tests/test_real_artifacts.py lights up when CI installs one)
+pytestmark = pytest.mark.skipif(os.name == "nt",
+                                reason="POSIX shim/pipe tests")
+
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
