@@ -485,7 +485,8 @@ def _families() -> dict[str, _Family]:
             lambda k, v: init_segformer(k, variant=v or "b0"),
             segformer_apply, variants=frozenset({"b0", "b1", "b2"}),
             outputs=staticmethod(lambda p: ("out",)),
-            apply_opts={"flash": ("attn_impl", "flash")}),
+            apply_opts={"flash": ("attn_impl", "flash"),
+                        "flashp": ("attn_impl", "flash_packed")}),
         "segformer_moe": _Family(
             "segformer_moe",
             lambda k, v: _init_segformer_moe_lazy(k, v),

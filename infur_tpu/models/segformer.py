@@ -138,15 +138,19 @@ def _attn(x_nhwc, blk, heads, sr, impl="einsum"):
     qh = q.reshape(n, h * w, heads, dh).transpose(0, 2, 1, 3)
     kh = k.reshape(n, l2, heads, dh).transpose(0, 2, 1, 3)
     vh = v.reshape(n, l2, heads, dh).transpose(0, 2, 1, 3)
-    if impl in ("flash", "flash_interpret"):
-        from infur_tpu.ops.pallas_attention import flash_attention
+    if impl in ("flash", "flash_interpret", "flash_packed"):
+        from infur_tpu.ops.pallas_attention import (
+            flash_attention, flash_attention_packed,
+        )
         # compiled Pallas TPU kernels don't lower on CPU backends — fall
         # back to the interpreter there so `segformer:b0:flash` works
         # everywhere (tests, CPU smoke runs)
         interpret = (impl == "flash_interpret"
                      or jax.default_backend() == "cpu")
-        out = flash_attention(qh, kh, vh, scale=float(1.0 / np.sqrt(dh)),
-                              interpret=interpret)
+        fn = flash_attention_packed if impl == "flash_packed" \
+            else flash_attention
+        out = fn(qh, kh, vh, scale=float(1.0 / np.sqrt(dh)),
+                 interpret=interpret)
     else:
         scores = jnp.einsum("nhld,nhmd->nhlm", qh, kh) / np.sqrt(dh)
         att = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(qh.dtype)

@@ -112,3 +112,90 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         interpret=interpret,
     )(qf, kf, vf)
     return out[:, :l, :dh].reshape(n, heads, l, dh)
+
+
+# ---------------------------------------------------------------------------
+# MXU head-packing variant (VERDICT r2 #7 attempt)
+#
+# The plain kernel's score matmul contracts over dh=32 — the 128x128
+# systolic array's pipeline fill dominates at that depth.  This variant
+# folds g=4 (or 2) of the flattened (batch x head) sequences into ONE
+# 128-lane contraction: queries pack their g members side-by-side in the
+# lane axis, K becomes block-diagonal over (member block rows, member
+# lane group), so one (TILE_Q, g*dh) @ (g*L2, g*dh)^T matmul yields every
+# member's score block at full contraction depth.  The softmax segments
+# per member; the value matmul stays per-member batched (its contraction
+# L2 >= 128 was never the problem, and a block-diagonal V would 4x its
+# FLOPs for nothing).
+
+
+def _attn_kernel_packed(q_ref, k_ref, v_ref, out_ref, *,
+                        scale: float, l2: int, g: int):
+    q = q_ref[0]        # (TILE_Q, g*dh)
+    kbd = k_ref[0]      # (g*L2p, g*dh) block-diagonal
+    v = v_ref[0]        # (g, L2p, dh)
+    l2p = v.shape[1]
+    s = jax.lax.dot_general(
+        q, kbd, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # (TILE_Q, g*L2p)
+    if l2 < l2p:  # mask each member block's padded key columns
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col % l2p < l2, s, -jnp.inf)
+    s3 = s.reshape(s.shape[0], g, l2p)
+    m = jnp.max(s3, axis=-1, keepdims=True)
+    p = jnp.exp(s3 - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)   # (TILE_Q, g, 1)
+    p3 = p.transpose(1, 0, 2).astype(v.dtype)    # (g, TILE_Q, L2p)
+    o = jax.lax.dot_general(
+        p3, v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)      # (g, TILE_Q, dh)
+    o = o / denom.transpose(1, 0, 2)
+    out_ref[0] = o.astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("scale", "interpret"))
+def flash_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
+                           scale: float, interpret: bool = False) -> jax.Array:
+    """Head-packed fused attention; same contract as
+    :func:`flash_attention`.  Falls back to the plain kernel when the
+    flattened (batch x heads) count has no 2/4 divisor or dh > 32."""
+    n, heads, l, dh = q.shape
+    l2 = k.shape[2]
+    b = n * heads
+    g = 4 if b % 4 == 0 else (2 if b % 2 == 0 else 1)
+    if g == 1 or dh > 32:
+        return flash_attention(q, k, v, scale, interpret=interpret)
+
+    # queries: members side-by-side along lanes -> (b/g, L_pad, g*dh)
+    qp = q.reshape(b // g, g, l, dh).transpose(0, 2, 1, 3) \
+          .reshape(b // g, l, g * dh)
+    qp = _pad_to(qp, 1, TILE_Q)
+    l_pad = qp.shape[1]
+    # keys: block-diagonal -> (b/g, g*L2p, g*dh)
+    k4 = _pad_to(k.reshape(b // g, g, l2, dh), 2, LANES)
+    l2p = k4.shape[2]
+    eye = jnp.eye(g, dtype=k4.dtype)
+    kbd = jnp.einsum("bmjd,mn->bmjnd", k4, eye) \
+             .reshape(b // g, g * l2p, g * dh)
+    # values: per-member batched (no packing needed)
+    v4 = _pad_to(v.reshape(b // g, g, l2, dh), 2, LANES)
+
+    out = pl.pallas_call(
+        partial(_attn_kernel_packed, scale=scale, l2=l2, g=g),
+        grid=(b // g, l_pad // TILE_Q),
+        in_specs=[
+            pl.BlockSpec((1, TILE_Q, g * dh), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g * l2p, g * dh), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, l2p, dh), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, g, TILE_Q, dh), lambda i, j: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b // g, g, l_pad, dh), q.dtype),
+        interpret=interpret,
+    )(qp, kbd, v4)
+    # (b/g, g, L_pad, dh) -> (n, heads, L, dh); group-major order matches
+    # the reshape that built the groups
+    return out[:, :, :l, :].reshape(n, heads, l, dh)

@@ -115,6 +115,41 @@ class TestFlashAttention:
         np.testing.assert_allclose(got, want, atol=3e-2, rtol=3e-2)
 
 
+class TestFlashAttentionPacked:
+    """Head-packed variant (block-diagonal K, 128-lane score contraction)
+    == the einsum reference on every grouping path (g=4, g=2, fallback)."""
+
+    def _case(self, rng, n, heads, l, l2, dh, tol=2e-6):
+        from infur_tpu.ops.pallas_attention import flash_attention_packed
+        q = rng.normal(size=(n, heads, l, dh)).astype(np.float32)
+        k = rng.normal(size=(n, heads, l2, dh)).astype(np.float32)
+        v = rng.normal(size=(n, heads, l2, dh)).astype(np.float32)
+        scale = 1.0 / np.sqrt(dh)
+        got = np.asarray(flash_attention_packed(q, k, v, scale,
+                                                interpret=True), np.float32)
+        want = np.asarray(TestFlashAttention._reference(q, k, v, scale),
+                          np.float32)
+        np.testing.assert_allclose(got, want, atol=tol, rtol=tol)
+
+    def test_g4_multi_head(self, rng):
+        self._case(rng, 1, 8, 300, 130, 32)   # g=4, ragged L/L2
+
+    def test_g4_batch_times_heads(self, rng):
+        self._case(rng, 4, 1, 200, 40, 32)    # stage-1-like batched
+
+    def test_g2(self, rng):
+        self._case(rng, 1, 2, 100, 30, 32)
+
+    def test_fallback_g1(self, rng):
+        self._case(rng, 1, 5, 64, 20, 32)     # 5 has no 2/4 divisor
+
+    def test_fallback_large_dh(self, rng):
+        self._case(rng, 1, 4, 64, 20, 64)     # dh>32 -> plain kernel
+
+    def test_lane_exact(self, rng):
+        self._case(rng, 1, 4, 256, 128, 32)   # no padding anywhere
+
+
 def test_segformer_flash_attention_end_to_end(rng):
     """The whole model agrees between attention implementations."""
     import jax

@@ -53,6 +53,11 @@ def main() -> int:
     err = float(np.abs(got - ref).max())
     print(f"hardware f32 parity max|diff|: {err:.3e}", flush=True)
     assert err < 1e-3, "flash attention diverges from einsum on hardware"
+    gotp = np.asarray(
+        segformer_apply(params, xs, attn_impl="flash_packed")["out"])
+    errp = float(np.abs(gotp - ref).max())
+    print(f"hardware f32 parity (packed) max|diff|: {errp:.3e}", flush=True)
+    assert errp < 1e-3, "packed flash diverges from einsum on hardware"
 
     # --- device compute, bf16: bench res (B=4) and full-1080p (B=1) ---
     results = {"parity_max_abs_diff_f32": err}
@@ -95,7 +100,7 @@ def _bench_res(results, tag, b, h, w, params, rng):
     from infur_tpu.models.segformer import segformer_apply
 
     x0 = rng.normal(size=(b, h, w, 3)).astype(np.float32)
-    for impl in ("einsum", "flash"):
+    for impl in ("einsum", "flash", "flash_packed"):
         def run_k(p, x, k_arr, impl=impl):
             def body(acc, i):
                 out = segformer_apply(p, x + i.astype(jnp.float32) * 1e-6,

@@ -11,9 +11,12 @@ per model with the max logit deviation and the argmax-mask agreement.
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
 
 
 def main() -> int:
