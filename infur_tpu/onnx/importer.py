@@ -727,7 +727,10 @@ def _jqlinear_conv(attrs, x, x_scale, x_zp, w, w_scale, w_zp, y_scale, y_zp, b=N
     return jnp.clip(q, lo, hi).astype(zp_dtype)
 
 @jop("QLinearMatMul")
-def _jqlinear_matmul(attrs, a, a_scale, a_zp, b, b_scale, b_zp, y_scale, y_zp):
+def _jqlinear_matmul(attrs, a, a_scale, a_zp, b, b_scale, b_zp, y_scale, y_zp,
+                     bias=None):
+    # 9th input (infur extension): int32 bias at scale a_scale*b_scale
+    # added to the exact accumulator (oracle twin: _qlinear_matmul)
     a = jnp.asarray(a)
     b = jnp.asarray(b)
     if (b.dtype == jnp.int8 and _const_all_zero(b_zp)
@@ -748,6 +751,8 @@ def _jqlinear_matmul(attrs, a, a_scale, a_zp, b, b_scale, b_zp, y_scale, y_zp):
         ai = a.astype(jnp.int32) - jnp.asarray(a_zp, jnp.int32)
         bi = b.astype(jnp.int32) - jnp.asarray(b_zp, jnp.int32)
         acc = jnp.matmul(ai, bi, preferred_element_type=jnp.int32)
+    if bias is not None:
+        acc = acc + jnp.asarray(np.asarray(bias, np.int32))
     if _host_const(a_scale, b_scale, y_scale):
         m = (np.asarray(a_scale, np.float32) * np.asarray(b_scale, np.float32)
              / np.asarray(y_scale, np.float32))
@@ -862,6 +867,26 @@ def _jqlookup_table(attrs, x, table):
                     x.astype(jnp.int32))
 
 
+@jop("QLayerNorm")
+def _jqlayernorm(attrs, x, gmul, boff):
+    # integer LayerNorm twin (onnx/qint.py) — bit-exact vs the oracle
+    if not _host_const(gmul, boff):
+        raise ModelLoadError("QLayerNorm gmul/boff must be initializers")
+    from infur_tpu.onnx.qint import qlayernorm_jnp
+    return qlayernorm_jnp(x, np.asarray(gmul), np.asarray(boff),
+                          s=int(attrs["s"]), sqd_fp=int(attrs["sqd_fp"]),
+                          t=int(attrs["t"]))
+
+
+@jop("QSoftmax")
+def _jqsoftmax(attrs, x, table):
+    # integer softmax twin (onnx/qint.py) — bit-exact vs the oracle
+    if not _host_const(table):
+        raise ModelLoadError("QSoftmax table must be an initializer")
+    from infur_tpu.onnx.qint import qsoftmax_jnp
+    return qsoftmax_jnp(x, np.asarray(table))
+
+
 @jop("QLinearResize")
 def _jqlinear_resize(attrs, x, roi=None, scales=None, sizes=None):
     mode = _dec(attrs.get("mode", "linear"), "linear")
@@ -914,11 +939,13 @@ _QCONST_ARGS = {
     "QuantizeLinear": (1, 2),
     "DequantizeLinear": (1, 2),
     "QLinearConv": (1, 2, 4, 5, 6, 7, 8),
-    "QLinearMatMul": (1, 2, 4, 5, 6, 7),
+    "QLinearMatMul": (1, 2, 4, 5, 6, 7, 8),
     "QLinearAdd": (1, 2, 4, 5, 6, 7),
     "QLinearMul": (1, 2, 4, 5, 6, 7),
     "QLinearGlobalAveragePool": (1, 2, 3, 4),
     "QLookupTable": (1,),
+    "QLayerNorm": (1, 2),
+    "QSoftmax": (1,),
 }
 
 

@@ -829,10 +829,16 @@ def _qlinear_conv(attrs, x, x_scale, x_zp, w, w_scale, w_zp,
     return np.clip(q, lo, hi).astype(np.asarray(y_zp).dtype)
 
 @op("QLinearMatMul")
-def _qlinear_matmul(attrs, a, a_scale, a_zp, b, b_scale, b_zp, y_scale, y_zp):
+def _qlinear_matmul(attrs, a, a_scale, a_zp, b, b_scale, b_zp, y_scale, y_zp,
+                    bias=None):
+    # 9th input (infur extension, like QLinearConv's): int32 bias at scale
+    # a_scale*b_scale added to the exact accumulator — keeps dense bias
+    # adds inside the integer domain instead of an f32 Add island
     ai = a.astype(np.int64) - np.int64(a_zp)
     bi = b.astype(np.int64) - np.int64(b_zp)
     acc = np.matmul(ai, bi)
+    if bias is not None:
+        acc = acc + np.asarray(bias, np.int64)
     scale = (np.float32(a_scale) * np.float32(b_scale)) / np.float32(y_scale)
     out = _requant_int(acc, scale, y_zp)
     if out is not None:
@@ -915,6 +921,19 @@ def _qlookup_table(attrs, x, table):
     # 256-entry gather — bit-exact by construction, and the fastest
     # possible form on either backend.
     return np.asarray(table, np.uint8)[x]
+
+
+@op("QLayerNorm")  # infur domain: integer LayerNorm (see onnx/qint.py)
+def _qlayernorm(attrs, x, gmul, boff):
+    from infur_tpu.onnx.qint import qlayernorm_ref
+    return qlayernorm_ref(x, gmul, boff, s=int(attrs["s"]),
+                          sqd_fp=int(attrs["sqd_fp"]), t=int(attrs["t"]))
+
+
+@op("QSoftmax")  # infur domain: integer softmax via a baked exp table
+def _qsoftmax(attrs, x, table):
+    from infur_tpu.onnx.qint import qsoftmax_ref
+    return qsoftmax_ref(x, table)
 
 
 @op("QLinearResize")  # infur domain: integer linear Resize (see qresize.py)

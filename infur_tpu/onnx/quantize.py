@@ -36,13 +36,27 @@ _Q_PASSTHROUGH = {"MaxPool"}  # same scale/zp in as out
 # (QLookupTable, infur domain): both executors reduce them to the same
 # gather, so the op is platform-exact — an f32 activation island between
 # quantized ops is not (ulp differences flip ints at the requant boundary)
-_LUT_OPS = {"Sigmoid", "HardSigmoid", "HardSwish", "Tanh", "LeakyRelu"}
+_LUT_OPS = {"Sigmoid", "HardSigmoid", "HardSwish", "Tanh", "LeakyRelu",
+            "Gelu", "Erf"}
 
 
 def _unary_f64(op: str, attrs: dict, f: np.ndarray) -> np.ndarray:
     """Float64 host evaluation of a LUT-able activation."""
     if op == "Sigmoid":
         return 1.0 / (1.0 + np.exp(-f))
+    if op == "Gelu":
+        approx = attrs.get("approximate", b"none")
+        if isinstance(approx, bytes):
+            approx = approx.decode()
+        if approx == "tanh":
+            return 0.5 * f * (1.0 + np.tanh(
+                np.sqrt(2.0 / np.pi) * (f + 0.044715 * f ** 3)))
+        import math
+        erf = np.vectorize(math.erf)
+        return 0.5 * f * (1.0 + erf(f / np.sqrt(2.0)))
+    if op == "Erf":
+        import math
+        return np.vectorize(math.erf)(f)
     if op == "Tanh":
         return np.tanh(f)
     if op == "HardSigmoid":
@@ -100,8 +114,18 @@ def calibrate(model: ModelProto, feeds_list: list[dict[str, np.ndarray]],
 
 def quantize_static(model: ModelProto,
                     feeds_list: list[dict[str, np.ndarray]],
-                    opset: int = 13) -> ModelProto:
-    """Produce the QOperator-format int8 model (see module docstring)."""
+                    opset: int = 13,
+                    transformer_int: bool = True) -> ModelProto:
+    """Produce the QOperator-format int8 model (see module docstring).
+
+    ``transformer_int`` enables the fully-integer transformer rules
+    (integer LayerNorm/Softmax, act@act QLinearMatMul, u8 data movement,
+    scalar-affine LUTs — onnx/qint.py): the whole graph becomes integer,
+    so TPU == oracle bit-exact at every size.  False restores the
+    round-2 mixed-precision scheme (f32 LN/softmax/attention islands;
+    higher fidelity to the f32 model, but only CPU-bit-exact — the TPU
+    mask agreement has a size envelope, PARITY.md).
+    """
     g = model.graph
     ranges = calibrate(model, feeds_list)
     inits = {t.name: tensor_to_numpy(t) for t in g.initializer}
@@ -239,34 +263,62 @@ def quantize_static(model: ModelProto,
             continue
 
         if op == "MatMul" and len(node.input) == 2 \
-                and node.input[1] in inits and inits[node.input[1]].ndim == 2 \
-                and (node.input[0] in qmap or node.input[0] in ranges) \
-                and node.output[0] in ranges:
-            # dense layer (activation @ 2-D initializer weight), the bulk
-            # of a transformer's FLOPs: QLinearMatMul with per-tensor
-            # symmetric s8 weights (ort's QLinearMatMul default; the
-            # importer's int8-operand MXU path needs b_zp == 0).
-            # Activation @ activation matmuls (attention scores/context)
-            # stay f32 — standard static-quantization practice.
-            xq, xp = ensure_q(node.input[0])
-            w = inits[node.input[1]]
-            w_scale = np.float32(max(float(np.abs(w).max()) / 127.0, 1e-12))
-            wq = np.clip(np.rint(w / w_scale), -127, 127).astype(np.int8)
-            yp = _qparam(*ranges[node.output[0]])
-            yname = node.output[0]
-            qy = fresh(yname + "_q")
-            ins = [xq,
-                   add_init(qy + "_xs", np.float32(xp.scale)),
-                   add_init(qy + "_xz", np.uint8(xp.zero_point)),
-                   add_init(fresh(node.input[1] + "_q"), wq),
-                   add_init(qy + "_ws", w_scale),
-                   add_init(qy + "_wz", np.int8(0)),
-                   add_init(qy + "_ys", np.float32(yp.scale)),
-                   add_init(qy + "_yz", np.uint8(yp.zero_point))]
-            nodes.append(make_node("QLinearMatMul", ins, [qy],
-                                   name=fresh("qmatmul")))
-            qmap[yname] = (qy, yp)
-            continue
+                and (node.input[0] in qmap or node.input[0] in ranges):
+            # dense layer (activation @ 2-D initializer weight, symmetric
+            # s8 per-tensor — the importer's int8-operand MXU path needs
+            # b_zp == 0) OR activation @ activation (attention
+            # scores/context, u8 x u8 with calibrated scales — the
+            # integer accumulator+requant path is exact either way).
+            # A single consumer Add(out, 1-D initializer) is folded as an
+            # int32 bias at scale a_scale*b_scale (QLinearConv-style 9th
+            # input) so dense bias adds never become f32 islands.
+            b_name = node.input[1]
+            b_init = b_name in inits and inits[b_name].ndim == 2
+            b_act = transformer_int and b_name not in inits \
+                and (b_name in qmap or b_name in ranges)
+            range_src, bias_add, bias_arr = node.output[0], None, None
+            cs = consumers.get(node.output[0], [])
+            if transformer_int and len(cs) == 1 and cs[0].op_type == "Add":
+                other = [i for i in cs[0].input if i != node.output[0]]
+                if len(other) == 1 and other[0] in inits \
+                        and inits[other[0]].ndim == 1:
+                    range_src, bias_add = cs[0].output[0], cs[0]
+                    bias_arr = inits[other[0]]
+            if (b_init or b_act) and range_src in ranges:
+                xq, xp = ensure_q(node.input[0])
+                yp = _qparam(*ranges[range_src])
+                qy = fresh(range_src + "_q")
+                if b_init:
+                    w = inits[b_name]
+                    b_scale = np.float32(
+                        max(float(np.abs(w).max()) / 127.0, 1e-12))
+                    wq = np.clip(np.rint(w / b_scale),
+                                 -127, 127).astype(np.int8)
+                    bq_in = add_init(fresh(b_name + "_q"), wq)
+                    bs = add_init(qy + "_ws", b_scale)
+                    bz = add_init(qy + "_wz", np.int8(0))
+                else:
+                    bq_in, bp = ensure_q(b_name)
+                    b_scale = np.float32(bp.scale)
+                    bs = add_init(qy + "_bs", np.float32(bp.scale))
+                    bz = add_init(qy + "_bz", np.uint8(bp.zero_point))
+                ins = [xq,
+                       add_init(qy + "_xs", np.float32(xp.scale)),
+                       add_init(qy + "_xz", np.uint8(xp.zero_point)),
+                       bq_in, bs, bz,
+                       add_init(qy + "_ys", np.float32(yp.scale)),
+                       add_init(qy + "_yz", np.uint8(yp.zero_point))]
+                if bias_arr is not None:
+                    biasq = np.rint(
+                        bias_arr / (float(xp.scale) * float(b_scale))
+                    ).astype(np.int32)
+                    ins.append(add_init(fresh(range_src + "_bq"), biasq))
+                nodes.append(make_node("QLinearMatMul", ins, [qy],
+                                       name=fresh("qmatmul")))
+                qmap[range_src] = (qy, yp)
+                if bias_add is not None:
+                    skip.add(node_index[id(bias_add)])
+                continue
 
         if op in _Q_PASSTHROUGH and (node.input[0] in qmap
                                      or node.input[0] in ranges):
@@ -277,7 +329,8 @@ def quantize_static(model: ModelProto,
             qmap[node.output[0]] = (qy, xp)  # same scale/zp
             continue
 
-        if op in _LUT_OPS and (node.input[0] in qmap
+        if op in _LUT_OPS and (transformer_int or op not in ("Gelu", "Erf")) \
+                and (node.input[0] in qmap
                                or node.input[0] in ranges) \
                 and node.output[0] in ranges:
             xq, xp = ensure_q(node.input[0])
@@ -339,6 +392,139 @@ def quantize_static(model: ModelProto,
                                    name=fresh("qresize"), domain="infur",
                                    **node.attrs()))
             qmap[node.output[0]] = (qy, xp)  # passthrough qparams
+            continue
+
+        # ---- fully-integer transformer rules (onnx/qint.py) ----
+
+        if transformer_int and op in ("Transpose", "Reshape", "Identity",
+                  "Squeeze", "Unsqueeze") and node.input[0] in qmap:
+            # pure data movement: runs on the u8 codes, scale/zp unchanged
+            xq, xp = qmap[node.input[0]]
+            qy = fresh(node.output[0] + "_q")
+            rest = [f32_rename.get(i, i) for i in node.input[1:]]
+            nodes.append(make_node(op, [xq, *rest], [qy],
+                                   name=fresh("qmove"), **node.attrs()))
+            qmap[node.output[0]] = (qy, xp)
+            continue
+
+        if transformer_int and op == "Split" and node.input[0] in qmap:
+            xq, xp = qmap[node.input[0]]
+            qouts = [fresh(o + "_q") for o in node.output]
+            rest = [f32_rename.get(i, i) for i in node.input[1:]]
+            nodes.append(make_node("Split", [xq, *rest], qouts,
+                                   name=fresh("qsplit"), **node.attrs()))
+            for o, qo in zip(node.output, qouts):
+                qmap[o] = (qo, xp)
+            continue
+
+        if transformer_int and op in ("Mul", "Div", "Add", "Sub") \
+                and len(node.input) == 2 and node.output[0] in ranges:
+            # elementwise with a SCALAR initializer operand (e.g. the
+            # attention 1/sqrt(dh)): an affine map of the dequantized
+            # value -> one baked 256-entry u8 table, platform-exact
+            cpos = [i for i, nm in enumerate(node.input)
+                    if nm in inits and np.size(inits[nm]) == 1]
+            apos = 1 - cpos[0] if cpos else None
+            if cpos and (node.input[apos] in qmap
+                         or node.input[apos] in ranges) \
+                    and not (op == "Div" and cpos[0] == 0):
+                cval = float(np.asarray(
+                    inits[node.input[cpos[0]]], np.float64).reshape(()))
+                xq, xp = ensure_q(node.input[apos])
+                yp = _qparam(*ranges[node.output[0]])
+                f = (np.arange(256, dtype=np.float64)
+                     - xp.zero_point) * xp.scale
+                if op == "Mul":
+                    y = f * cval
+                elif op == "Div":
+                    y = f / cval
+                elif op == "Add":
+                    y = f + cval
+                else:
+                    y = (f - cval) if cpos[0] == 1 else (cval - f)
+                table = np.clip(np.rint(y / yp.scale) + yp.zero_point,
+                                0, 255).astype(np.uint8)
+                qy = fresh(node.output[0] + "_q")
+                nodes.append(make_node(
+                    "QLookupTable",
+                    [xq, add_init(fresh(node.output[0] + "_lut"), table)],
+                    [qy], name=fresh("qlut"), domain="infur"))
+                qmap[node.output[0]] = (qy, yp)
+                continue
+
+        if transformer_int and op == "LayerNormalization" and len(node.input) >= 3 \
+                and node.input[1] in inits and node.input[2] in inits \
+                and (node.input[0] in qmap or node.input[0] in ranges) \
+                and node.output[0] in ranges \
+                and int(node.attrs().get("axis", -1)) == -1:
+            # integer LayerNorm: (x-mean)/std is scale/zp-free on the u8
+            # codes; per-channel gamma/std affine baked as fixed-point
+            # (onnx/qint.py).  On any failure (absurd ratios) fall to f32.
+            from infur_tpu.onnx.qint import layernorm_consts
+            gamma = np.asarray(inits[node.input[1]])
+            beta = np.asarray(inits[node.input[2]])
+            yp = _qparam(*ranges[node.output[0]])
+            try:
+                s_, sqd_fp, t_, gmul, boff = layernorm_consts(
+                    int(gamma.size), gamma, beta, yp.scale, yp.zero_point)
+            except ValueError:
+                s_ = None
+            if s_ is not None:
+                xq, xp = ensure_q(node.input[0])
+                qy = fresh(node.output[0] + "_q")
+                nodes.append(make_node(
+                    "QLayerNorm",
+                    [xq, add_init(fresh(node.output[0] + "_gmul"), gmul),
+                     add_init(fresh(node.output[0] + "_boff"), boff)],
+                    [qy], name=fresh("qln"), domain="infur",
+                    s=s_, sqd_fp=sqd_fp, t=t_))
+                qmap[node.output[0]] = (qy, yp)
+                continue
+
+        if transformer_int and op == "Softmax" \
+                and (node.input[0] in qmap or node.input[0] in ranges) \
+                and int(node.attrs().get("axis", -1)) == -1:
+            # integer softmax: exp of the u8 difference-to-row-max is a
+            # 256-entry table; output is u8 probabilities at fixed scale
+            # 1/255 (onnx/qint.py)
+            from infur_tpu.onnx.qint import softmax_exp_table
+            xq, xp = ensure_q(node.input[0])
+            table = softmax_exp_table(xp.scale)
+            qy = fresh(node.output[0] + "_q")
+            nodes.append(make_node(
+                "QSoftmax",
+                [xq, add_init(fresh(node.output[0] + "_exp"), table)],
+                [qy], name=fresh("qsoftmax"), domain="infur"))
+            qmap[node.output[0]] = (qy, QParam(1.0 / 255.0, 0))
+            continue
+
+        if transformer_int and op == "Concat" and len(node.input) >= 2 \
+                and all(i in qmap or i in ranges for i in node.input) \
+                and node.output[0] in ranges:
+            # integer Concat: inputs requant onto the output grid via
+            # 256-entry tables (identity when grids already match)
+            yp = _qparam(*ranges[node.output[0]])
+            qins = []
+            for i in node.input:
+                iq, ip = ensure_q(i)
+                if (abs(ip.scale - yp.scale) < 1e-12
+                        and ip.zero_point == yp.zero_point):
+                    qins.append(iq)
+                    continue
+                f = (np.arange(256, dtype=np.float64)
+                     - ip.zero_point) * ip.scale
+                table = np.clip(np.rint(f / yp.scale) + yp.zero_point,
+                                0, 255).astype(np.uint8)
+                rq = fresh(i + "_rq")
+                nodes.append(make_node(
+                    "QLookupTable",
+                    [iq, add_init(fresh(i + "_rqlut"), table)],
+                    [rq], name=fresh("qlut"), domain="infur"))
+                qins.append(rq)
+            qy = fresh(node.output[0] + "_q")
+            nodes.append(make_node("Concat", qins, [qy],
+                                   name=fresh("qconcat"), **node.attrs()))
+            qmap[node.output[0]] = (qy, yp)
             continue
 
         if op == "Relu" and node.input[0] in qmap \

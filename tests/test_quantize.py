@@ -305,12 +305,12 @@ def test_int8_lraspp_end_to_end_bit_exact(rng):
     assert agree > 0.9, agree
 
 
-def test_int8_segformer_transformer_graph(rng):
-    """Static quantization of the exported SegFormer graph: every dense
-    (activation @ weight) MatMul becomes QLinearMatMul — the bulk of a
-    transformer's FLOPs in int8 — while the 16 activation-activation
-    attention matmuls (2 per block) stay f32, standard practice.  Oracle
-    and importer agree bit-exactly on the quantized graph."""
+def test_int8_segformer_transformer_graph_mixed(rng):
+    """The legacy mixed-precision scheme (``transformer_int=False``):
+    every dense (activation @ weight) MatMul becomes QLinearMatMul while
+    the 16 activation-activation attention matmuls (2 per block) stay
+    f32.  Oracle and importer agree bit-exactly on the quantized graph.
+    The fully-integer default scheme is covered by tests/test_qint.py."""
     import jax
     from infur_tpu.models.segformer import init_segformer, segformer_to_onnx
     from infur_tpu.onnx import import_model, run_model
@@ -320,7 +320,7 @@ def test_int8_segformer_transformer_graph(rng):
     model = segformer_to_onnx(p, (32, 32))
     feeds = [{"input": rng.normal(size=(1, 3, 32, 32)).astype(np.float32)}
              for _ in range(2)]
-    qm = quantize_static(model, feeds)
+    qm = quantize_static(model, feeds, transformer_int=False)
     ops = {}
     for n in qm.graph.node:
         ops[n.op_type] = ops.get(n.op_type, 0) + 1

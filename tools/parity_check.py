@@ -78,21 +78,17 @@ def main() -> int:
                                - want[b, gm[b, y, x], y, x]).max())
         non_tie_exact = not mism.any() or gap < 1e-4
         # Criteria by architecture class:
-        # * fully-integer int8 CNNs (FCN, LRASPP): the fixed-point requant
-        #   (onnx/requant.py) makes the whole quantized graph
-        #   platform-exact — ZERO non-tie mask mismatches, logits within
-        #   f32 noise of the post-dequant Resize tail (round-2 bar; the
-        #   reference's analog golden check is predict_onnx.rs:371-381).
-        # * int8 transformer (SegFormer): QLinearMatMul regions are
-        #   integer-exact but the f32 LayerNorm/Softmax/attention islands
-        #   BETWEEN them are not platform-exact (XLA FMA/reassociation),
-        #   and their outputs feed QuantizeLinear boundaries where an ulp
-        #   flips an int — mixed-precision graphs get the f32-style mask
-        #   bar, not the bit-exact one (CPU is bit-exact: test_quantize).
+        # * fully-integer int8 graphs — CNNs (FCN, LRASPP) via the
+        #   fixed-point requant (onnx/requant.py), AND the transformer
+        #   (SegFormer) via the round-3 integer LayerNorm/Softmax +
+        #   act@act QLinearMatMul rules (onnx/qint.py): the whole graph
+        #   is platform-exact — ZERO non-tie mask mismatches, logits
+        #   within f32 noise of the post-dequant tail (the reference's
+        #   analog golden check is predict_onnx.rs:371-381).  Round 2's
+        #   f32-island size envelope is structurally eliminated (the
+        #   legacy transformer_int=False scheme keeps it, PARITY.md).
         # * f32: bit-for-bit modulo conv accumulation order, 0.999 bar.
-        if name == "segformer_b0_int8":
-            passed = agree >= 0.995
-        elif "int8" in name:
+        if "int8" in name:
             passed = non_tie_exact and dev < 1e-6 and agree > 0.9999
         else:
             passed = agree >= 0.999
