@@ -178,6 +178,24 @@ def test_mesh_pad_crop_matches_unsharded():
     np.testing.assert_allclose(sharded, plain, rtol=2e-4, atol=2e-4)
 
 
+def test_flashp_spec_serves():
+    """segformer:b0:flashp (head-packed Pallas attention) loads and runs
+    through the standard ModelStage (CPU falls back to interpret mode)."""
+    st = ModelStage()
+    st.control(Load("segformer:b0:flashp"))
+    cell = Cell()
+    st.advance(Frame(1, np.zeros((32, 32, 3), np.uint8)), cell)
+    out = np.asarray(cell.value.outputs["out"])
+    assert out.shape[1:] == (32, 32) and np.isfinite(out).all()
+
+    st2 = ModelStage()
+    st2.control(Load("segformer:b0"))
+    cell2 = Cell()
+    st2.advance(Frame(1, np.zeros((32, 32, 3), np.uint8)), cell2)
+    np.testing.assert_allclose(out, np.asarray(cell2.value.outputs["out"]),
+                               rtol=2e-4, atol=2e-4)
+
+
 # ---------------------------------------------------------------------------
 # ADVICE r2: viewer upload cleanup + stale chips (unit level)
 
