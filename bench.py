@@ -125,8 +125,13 @@ def _preflight_wait(budget_s: float) -> bool:
     import subprocess
     import tempfile
     deadline = time.monotonic() + budget_s
-    probe = ("import jax, numpy; "
-             "print(numpy.asarray(jax.numpy.ones(4)).sum())")
+    # the probe moves a REPRESENTATIVE payload (2 MB device->host), not a
+    # trivial scalar: degraded windows answer tiny ops but stall MB-scale
+    # transfers (measured: three zero runs whose preflights all passed a
+    # 4-float probe), and starting the measured run there records a zero
+    probe = ("import jax, jax.numpy as jnp, numpy; "
+             "x = jax.jit(lambda: jnp.ones((2<<20,), jnp.uint8))(); "
+             "print(int(numpy.asarray(x).sum()))")
     first = True
     while time.monotonic() < deadline:
         # stdout to a FILE, not a pipe: a killed probe can leave jax helper
@@ -138,7 +143,7 @@ def _preflight_wait(budget_s: float) -> bool:
                                    stdout=out, stderr=subprocess.DEVNULL,
                                    stdin=subprocess.DEVNULL, timeout=90)
                 out.seek(0)
-                if r.returncode == 0 and b"4.0" in out.read():
+                if r.returncode == 0 and str(2 << 20).encode() in out.read():
                     return True
             except subprocess.TimeoutExpired:
                 pass
@@ -182,17 +187,30 @@ def main() -> int:
     lat_ms: list[float] = []
     link_info: dict = {"samples_MBps": []}
 
+    # progress-aware watchdog: fires only when NOTHING completed (no
+    # batch latency recorded, no round finished) for a whole window —
+    # slow-but-progressing relay windows keep running instead of
+    # emitting a premature zero
+    _progress = [0]
+
     def _watchdog():
-        _emit(rounds_done, lat_ms, link_info)
-        os._exit(0)
+        seen = _progress[0]
+        while True:
+            time.sleep(480.0)
+            now = len(rounds_done) * 1_000_000 + len(lat_ms)
+            if now == seen and _progress[0] != -1:
+                _emit(rounds_done, lat_ms, link_info)
+                os._exit(0)
+            if _progress[0] == -1:
+                return  # clean finish
+            seen = now
 
     preflight = float(os.environ.get("INFUR_BENCH_PREFLIGHT_S", "900"))
     if not _preflight_wait(preflight):
         _emit([], [])  # relay never recovered: honest zero line
         return 0
-    timer = threading.Timer(480.0, _watchdog)
-    timer.daemon = True
-    timer.start()
+    wd = threading.Thread(target=_watchdog, daemon=True)
+    wd.start()
     import jax
     import jax.numpy as jnp
 
@@ -415,7 +433,7 @@ def main() -> int:
         link_info["samples_MBps"].append(_measure_link_mbps(jax, jnp))
     except Exception:
         pass
-    timer.cancel()
+    _progress[0] = -1  # clean finish: disarm the watchdog
     _emit(rounds_done, lat_ms, link_info)
     return 0
 

@@ -261,7 +261,8 @@ class _NativeBackend:
         for o in opts:
             if o == "bf16":
                 self.compute_dtype = "bfloat16"
-            elif o == "int8" and family.to_onnx is not None:
+            elif o == "int8" and (family.to_onnx is not None
+                                  or family.to_onnx_sized is not None):
                 int8 = True
             elif o.startswith("mesh="):
                 mesh_spec = o[5:]
@@ -273,7 +274,7 @@ class _NativeBackend:
                 raise ModelLoadError(
                     f"unknown option {o!r} for {family.name} "
                     f"(expected bf16"
-                    f"{', int8' if family.to_onnx is not None else ''}"
+                    f"{', int8' if family.to_onnx is not None or family.to_onnx_sized is not None else ''}"
                     f", mesh=MxS, one of {sorted(family.variants)}"
                     f"{' or ' + '/'.join(sorted(family.apply_opts)) if family.apply_opts else ''})")
         if ckpt:
@@ -287,14 +288,24 @@ class _NativeBackend:
         self.mesh = None
         self._x_sharding = None
         self._int8 = None
+        self._int8_sized = None      # family for lazy per-size quantization
+        self._int8_cache: dict = {}  # (h, w) -> imported executable
+        self._int8_ranges = None     # size-transferable calibration ranges
         calib_src = self.overrides.pop("calib", None)
+        self._calib_src = calib_src
         if calib_src and not int8:
             raise ModelLoadError(
                 "calib= is only meaningful with the :int8 opt")
         if int8:
             if self.compute_dtype != "float32" or mesh_spec:
                 raise ModelLoadError("int8 excludes bf16/mesh= opts")
-            self._quantize_int8(family, calib_src)
+            if family.to_onnx is not None:
+                self._quantize_int8(family, calib_src)
+            else:
+                # static-shape exporter (SegFormer): quantize at the
+                # first frame size; ranges calibrate once on a small
+                # export (names are size-stable)
+                self._int8_sized = family
         if mesh_spec:
             self._setup_mesh(mesh_spec)
 
@@ -348,14 +359,48 @@ class _NativeBackend:
         if s > 1:
             self._x_sharding = NamedSharding(self.mesh, P(None, "spatial"))
 
+    def _int8_for_shape(self, hw: tuple[int, int]):
+        """Quantized executable for one frame size (static-shape export
+        path).  The activation ranges calibrate ONCE on a small export —
+        per-tensor names are size-stable so they transfer to any size —
+        which keeps the NumPy-oracle calibration cost independent of the
+        served resolution."""
+        if hw in self._int8_cache:
+            return self._int8_cache[hw]
+        from infur_tpu.onnx import import_model
+        from infur_tpu.onnx.passes import fold_batchnorm
+        from infur_tpu.onnx.quantize import calibrate, quantize_static
+        family = self._int8_sized
+        if self._int8_ranges is None:
+            chw = (96, 96)
+            small = fold_batchnorm(
+                family.to_onnx_sized(self.params, chw))
+            if self._calib_src:
+                calib = [{"input": f}
+                         for f in _calib_frames(self._calib_src, hw=chw)]
+            else:
+                rng = np.random.default_rng(0)
+                calib = [{"input": (rng.normal(size=(1, 3, *chw)) * 0.6)
+                          .astype(np.float32)} for _ in range(3)]
+            self._int8_ranges = calibrate(small, calib)
+        model = fold_batchnorm(family.to_onnx_sized(self.params, hw))
+        exe = import_model(quantize_static(model, [],
+                                           ranges=self._int8_ranges))
+        self._int8_cache[hw] = exe
+        return exe
+
     def preproc(self, out_hw: tuple[int, int]) -> PreProc:
-        layout = "NCHW" if self._int8 is not None else "NHWC"
+        layout = "NCHW" if (self._int8 is not None
+                            or self._int8_sized is not None) else "NHWC"
         return _apply_overrides(
             PreProc.imagenet(out_hw, layout=layout, channel_order="rgb",
                              compute_dtype=self.compute_dtype),
             self.overrides)
 
     def __call__(self, x: jax.Array) -> dict[str, jax.Array]:
+        if self._int8_sized is not None:
+            exe = self._int8_for_shape((int(x.shape[2]), int(x.shape[3])))
+            return exe({exe.input_info[0].name: x})
         if self._int8 is not None:
             name = self._int8.input_info[0].name
             return self._int8({name: x})
@@ -461,9 +506,14 @@ class _Family:
         lambda p: ("out", "aux") if "aux_head" in p else ("out",))
     #: extra spec opts -> apply() kwarg, e.g. "flash" -> fused Pallas attention
     apply_opts: Any = field(default_factory=dict)
-    #: params -> ModelProto exporter enabling the ``:int8`` opt (dynamic-size
-    #: graphs only; SegFormer's export is static-shape so it opts out)
+    #: params -> ModelProto exporter enabling the ``:int8`` opt
+    #: (dynamic-size graphs)
     to_onnx: Any = None
+    #: (params, (h, w)) -> ModelProto for static-shape exports
+    #: (SegFormer): ``:int8`` quantizes lazily at the first frame size,
+    #: with ranges calibrated ONCE on a small export (names are
+    #: size-stable, see onnx/quantize.py)
+    to_onnx_sized: Any = None
 
 
 def _families() -> dict[str, _Family]:
@@ -486,7 +536,8 @@ def _families() -> dict[str, _Family]:
             segformer_apply, variants=frozenset({"b0", "b1", "b2"}),
             outputs=staticmethod(lambda p: ("out",)),
             apply_opts={"flash": ("attn_impl", "flash"),
-                        "flashp": ("attn_impl", "flash_packed")}),
+                        "flashp": ("attn_impl", "flash_packed")},
+            to_onnx_sized=staticmethod(lambda p, hw: _segformer_to_onnx_lazy(p, hw))),
         "segformer_moe": _Family(
             "segformer_moe",
             lambda k, v: _init_segformer_moe_lazy(k, v),
@@ -504,6 +555,11 @@ def _families() -> dict[str, _Family]:
 def _fcn_to_onnx_lazy(p):
     from infur_tpu.models.fcn_resnet50 import fcn_resnet50_to_onnx
     return fcn_resnet50_to_onnx(p, (0, 0))  # dynamic-size graph
+
+
+def _segformer_to_onnx_lazy(p, hw):
+    from infur_tpu.models.segformer import segformer_to_onnx
+    return segformer_to_onnx(p, hw)
 
 
 def _deeplab_to_onnx_lazy(p):

@@ -115,7 +115,9 @@ def calibrate(model: ModelProto, feeds_list: list[dict[str, np.ndarray]],
 def quantize_static(model: ModelProto,
                     feeds_list: list[dict[str, np.ndarray]],
                     opset: int = 13,
-                    transformer_int: bool = True) -> ModelProto:
+                    transformer_int: bool = True,
+                    ranges: dict[str, tuple[float, float]] | None = None,
+                    ) -> ModelProto:
     """Produce the QOperator-format int8 model (see module docstring).
 
     ``transformer_int`` enables the fully-integer transformer rules
@@ -125,9 +127,16 @@ def quantize_static(model: ModelProto,
     round-2 mixed-precision scheme (f32 LN/softmax/attention islands;
     higher fidelity to the f32 model, but only CPU-bit-exact — the TPU
     mask agreement has a size envelope, PARITY.md).
+
+    ``ranges`` supplies pre-computed activation ranges instead of running
+    calibration here.  Tensor names in static-shape exports are
+    size-stable, so ranges calibrated on a SMALL export apply to a
+    large-size export of the same model — how ``segformer:int8`` serves
+    arbitrary frame sizes without running the oracle at frame resolution.
     """
     g = model.graph
-    ranges = calibrate(model, feeds_list)
+    if ranges is None:
+        ranges = calibrate(model, feeds_list)
     inits = {t.name: tensor_to_numpy(t) for t in g.initializer}
 
     out = GraphProto(name=g.name + "_int8", input=list(g.input),

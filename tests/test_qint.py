@@ -174,6 +174,53 @@ def test_transformer_bias_folded_into_matmul(tiny_int8_transformer):
     assert len(with_bias) >= 20  # q/kv/proj/fc1/fc2 + head projections
 
 
+def test_ranges_transfer_across_sizes(tiny_int8_transformer):
+    """Calibration ranges from a small export quantize a LARGER export of
+    the same params (names are size-stable): the resulting graph is still
+    fully integer and oracle == importer bit-exact — the mechanism behind
+    ``segformer:int8`` serving arbitrary frame sizes."""
+    import jax
+
+    from infur_tpu.models.segformer import init_segformer, segformer_to_onnx
+    from infur_tpu.onnx import import_model, run_model
+    from infur_tpu.onnx.passes import fold_batchnorm
+    from infur_tpu.onnx.quantize import calibrate, quantize_static
+
+    rng = np.random.default_rng(0)
+    params = init_segformer(jax.random.PRNGKey(4), variant="b0",
+                            num_classes=7)
+    small = fold_batchnorm(segformer_to_onnx(params, (32, 32)))
+    calib = [{"input": rng.normal(size=(1, 3, 32, 32)).astype(np.float32)
+              * 0.5} for _ in range(2)]
+    ranges = calibrate(small, calib)
+    big = fold_batchnorm(segformer_to_onnx(params, (64, 64)))
+    qbig = quantize_static(big, [], ranges=ranges)
+    outside = [n.op_type for n in qbig.graph.node
+               if n.op_type not in _INTEGER_OPS]
+    assert not outside, f"range transfer left f32 islands: {outside}"
+    feed = {"input": rng.normal(size=(1, 3, 64, 64)).astype(np.float32)}
+    want = run_model(qbig, feed)["out"]
+    got = np.asarray(import_model(qbig)(feed)["out"])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_segformer_int8_family_spec():
+    """segformer:b0:int8 through ModelStage: lazy per-size quantization
+    with one-time small-export calibration."""
+    from infur_tpu.model_stage import Load, ModelStage
+    from infur_tpu.processing import Cell, Frame
+
+    st = ModelStage()
+    st.control(Load("segformer:b0:int8"))
+    cell = Cell()
+    st.advance(Frame(1, np.zeros((32, 32, 3), np.uint8)), cell)
+    out = np.asarray(cell.value.outputs["out"])
+    assert out.shape[1:] == (32, 32) and np.isfinite(out).all()
+    backend = st._backend
+    assert backend._int8_ranges is not None
+    assert (32, 32) in backend._int8_cache
+
+
 def test_int8_transformer_accuracy_vs_f32(tiny_int8_transformer):
     """Quantization quality guard, RELATIVE: the fully-integer scheme is
     at least as faithful to the f32 model as round 2's mixed-precision
