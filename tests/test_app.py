@@ -427,5 +427,7 @@ def test_int8_excludes_other_compute_opts():
     from infur_tpu.model_stage import Load, ModelStage
     with pytest.raises(ModelLoadError):
         ModelStage().control(Load("lraspp:int8:bf16"))
-    with pytest.raises(ModelLoadError):  # segformer has no dynamic export
-        ModelStage().control(Load("segformer:int8"))
+    with pytest.raises(ModelLoadError):  # int8 is integer compute
+        ModelStage().control(Load("segformer:int8:bf16"))
+    with pytest.raises(ModelLoadError):  # and excludes sharded serving
+        ModelStage().control(Load("segformer:int8:mesh=2x2"))
