@@ -74,6 +74,9 @@ _SIMPLE = {
     "Abs": lambda a, x: jnp.abs(x),
     "Floor": lambda a, x: jnp.floor(x),
     "Ceil": lambda a, x: jnp.ceil(x),
+    # fmod=0 -> sign of divisor (jnp.mod); fmod=1 -> sign of dividend
+    "Mod": lambda a, x, y: (jnp.fmod(x, y) if a.get("fmod", 0)
+                            else jnp.mod(x, y)),
     "Relu": lambda a, x: jnp.maximum(x, 0),
     "Sigmoid": lambda a, x: jax.nn.sigmoid(x),
     "Tanh": lambda a, x: jnp.tanh(x),

@@ -158,6 +158,15 @@ def _neg(attrs, x):
 def _abs(attrs, x):
     return np.abs(x)
 
+@op("Mod")
+def _mod(attrs, x, y):
+    # fmod=0 (default): result sign follows the divisor, like Python %;
+    # fmod=1: C fmod, sign follows the dividend.  torch emits Mod in the
+    # opset-14 scaled_dot_product_attention head-split arithmetic.
+    if attrs.get("fmod", 0):
+        return np.fmod(x, y)
+    return np.mod(x, y)
+
 @op("Floor")
 def _floor(attrs, x):
     return np.floor(x)
