@@ -88,20 +88,42 @@ def _qparam(lo: float, hi: float) -> QParam:
 
 
 def calibrate(model: ModelProto, feeds_list: list[dict[str, np.ndarray]],
+              percentile: float | None = None,
+              sample_cap: int = 8192,
               ) -> dict[str, tuple[float, float]]:
-    """Min/max of every activation tensor over the calibration feeds."""
+    """Activation ranges of every tensor over the calibration feeds.
+
+    Default: exact streaming min/max (ort's MinMax calibration).
+
+    ``percentile`` (e.g. 99.9): two-sided percentile ranges instead —
+    lo/hi are the (100-p)/2 and 100-(100-p)/2 quantiles of the observed
+    values, so a handful of outlier activations (transformer residuals
+    are the classic case) no longer stretch the u8 grid and crush the
+    resolution where the mass of the distribution lives.  Values are
+    deterministically strided-subsampled to ``sample_cap`` per tensor per
+    feed to bound memory; the quantile is computed over the pooled
+    samples at the end.
+    """
     from infur_tpu.onnx.oracle import run_graph
 
+    if percentile is not None and not 50.0 < percentile <= 100.0:
+        raise ValueError(f"percentile must be in (50, 100], got {percentile}")
     g = model.graph
     init_names = {t.name for t in g.initializer}
     acts = [vi.name for vi in g.input if vi.name not in init_names]
     for n in g.node:
         acts.extend(o for o in n.output if o)
     ranges: dict[str, tuple[float, float]] = {}
+    samples: dict[str, list[np.ndarray]] = {}
     for feeds in feeds_list:
         vals = run_graph(g, feeds, outputs=acts)
         for name, v in vals.items():
             if not np.issubdtype(v.dtype, np.floating):
+                continue
+            if percentile is not None:
+                flat = np.asarray(v, np.float32).ravel()
+                stride = max(1, flat.size // sample_cap)
+                samples.setdefault(name, []).append(flat[::stride][:sample_cap])
                 continue
             lo, hi = float(v.min()), float(v.max())
             if name in ranges:
@@ -109,6 +131,12 @@ def calibrate(model: ModelProto, feeds_list: list[dict[str, np.ndarray]],
                 ranges[name] = (min(plo, lo), max(phi, hi))
             else:
                 ranges[name] = (lo, hi)
+    if percentile is not None:
+        tail = (100.0 - percentile) / 2.0
+        for name, chunks in samples.items():
+            pool = np.concatenate(chunks)
+            lo, hi = np.percentile(pool, [tail, 100.0 - tail])
+            ranges[name] = (float(lo), float(hi))
     return ranges
 
 
@@ -117,6 +145,7 @@ def quantize_static(model: ModelProto,
                     opset: int = 13,
                     transformer_int: bool = True,
                     ranges: dict[str, tuple[float, float]] | None = None,
+                    percentile: float | None = None,
                     ) -> ModelProto:
     """Produce the QOperator-format int8 model (see module docstring).
 
@@ -136,7 +165,7 @@ def quantize_static(model: ModelProto,
     """
     g = model.graph
     if ranges is None:
-        ranges = calibrate(model, feeds_list)
+        ranges = calibrate(model, feeds_list, percentile=percentile)
     inits = {t.name: tensor_to_numpy(t) for t in g.initializer}
 
     out = GraphProto(name=g.name + "_int8", input=list(g.input),
