@@ -49,6 +49,16 @@ Knobs: INFUR_BENCH_FETCH=N splits the packed payload into N device
 buffers fetched concurrently (a single-thread fetch of one large buffer
 intermittently stalls — BENCH_NOTES.md; default 4); INFUR_BENCH_BATCH /
 DEPTH / PACK / ROUNDS as before.
+
+INFUR_BENCH_CONF picks the rle payload's confidence plane (the alpha of
+the overlay; the mask itself is always lossless):
+  q2   (default) u8 at quarter res (2x2 mean) — 0.25 B/px, the app's
+       established alpha granularity (round 2)
+  q2n4 2x2 mean then 4-bit (x17 reconstruct) — 0.125 B/px, 16 alpha levels
+  q4   u8 at 1/16 res (4x4 mean) — 0.0625 B/px, coarser spatially but
+       full 256-level depth
+Fidelity of each variant vs full-res conf is measured on hardware in
+tools/conf_fidelity.py and recorded in BENCH_NOTES.md.
 """
 
 from __future__ import annotations
@@ -71,6 +81,9 @@ PACK = os.environ.get("INFUR_BENCH_PACK", "rle")  # rle|confq6|confq|p53|full
 DEPTH = int(os.environ.get("INFUR_BENCH_DEPTH", "1"))  # batches in flight
 FETCH = int(os.environ.get("INFUR_BENCH_FETCH", "4"))  # concurrent D2H chunks
 RLE_CAP = int(os.environ.get("INFUR_BENCH_RLE_CAP", "64"))  # runs/row cap
+CONF = os.environ.get("INFUR_BENCH_CONF", "q2")  # rle conf plane: q2|q2n4|q4
+if CONF not in ("q2", "q2n4", "q4"):
+    raise SystemExit(f"INFUR_BENCH_CONF must be q2|q2n4|q4, got {CONF!r}")
 NUM_CLASSES_PAD = 32  # argmax yields < 21; p53 unpack can surface 5 bits
 
 
@@ -104,7 +117,8 @@ def _emit(rounds_fps: list[float], lat_ms: list[float],
         "aggregation": f"best_of_{ROUNDS}",
         "rounds_fps": [round(f, 2) for f in rounds_fps],
         "median_fps": round(med, 2),
-        "payload": PACK,
+        "payload": PACK + (f"+conf_{CONF}"
+                           if PACK == "rle" and CONF != "q2" else ""),
     }
     if lat_ms:
         out["frame_latency_p50_ms"] = round(float(np.percentile(lat_ms, 50)), 1)
@@ -240,16 +254,20 @@ def main() -> int:
     while BATCH % n_fetch:
         n_fetch -= 1
 
-    def _pack6(m):
-        """(b, oh*ow) u8 class ids -> LOSSLESS 6-bit packing, 4 px -> 3 B
-        (21 < 64); pure u8 shifts (no int64 on this platform)."""
-        b = m.shape[0]
-        q = m.reshape(b, -1, 4)
-        return jnp.stack([
-            q[..., 0] | (q[..., 1] << 6),
-            (q[..., 1] >> 2) | (q[..., 2] << 4),
-            (q[..., 2] >> 4) | (q[..., 3] << 2),
-        ], axis=-1).reshape(b, -1)
+    from infur_tpu.ops.maskcode import pack_mask6 as _pack6
+
+    # rle confidence plane geometry (INFUR_BENCH_CONF): subsample factor,
+    # optional 4-bit depth (ops/maskcode.py codec)
+    from infur_tpu.ops.maskcode import conf_plane_decode, conf_plane_encode
+    conf_sub = 4 if CONF == "q4" else 2
+    conf_bits4 = CONF == "q2n4"
+    ch, cw = oh // conf_sub, ow // conf_sub
+
+    def _conf_plane(conf):
+        return conf_plane_encode(conf, conf_sub, conf_bits4)
+
+    def _conf_decode(plane: np.ndarray) -> np.ndarray:
+        return conf_plane_decode(plane, ch, cw, conf_bits4)
 
     @jax.jit
     def step(params, yuv_flat_batch):
@@ -268,8 +286,6 @@ def main() -> int:
             # for arbitrary content.  10-bit col needs ow <= 1024.
             from infur_tpu.ops.maskcode import encode_runs
             b = conf.shape[0]
-            c4 = conf.reshape(b, oh // 2, 2, ow // 2, 2).astype(jnp.uint16)
-            confq = (c4.sum(axis=(2, 4)) // 4).astype(jnp.uint8)
             m = mask  # (b, oh, ow)
             counts, runs = encode_runs(m, RLE_CAP)
             rw = runs.reshape(b, -1)
@@ -279,7 +295,7 @@ def main() -> int:
                 (counts >> 8).astype(jnp.uint8),
                 (rw & 255).astype(jnp.uint8),
                 (rw >> 8).astype(jnp.uint8),
-                confq.reshape(b, -1),
+                _conf_plane(conf),
             ], axis=1)
             # fallback plane: confq6-packed mask, fetched ONLY on overflow
             return _chunk(payload), _chunk(_pack6(m.reshape(b, -1)))
@@ -341,14 +357,8 @@ def main() -> int:
             from infur_tpu.hostops import unpack_mask6
             m = unpack_mask6(m)
         else:
-            t = m.reshape(b, -1, 3)
-            b0, b1, b2 = t[..., 0], t[..., 1], t[..., 2]
-            m = np.stack([
-                b0 & 63,
-                (b0 >> 6) | ((b1 & 15) << 2),
-                (b1 >> 4) | ((b2 & 3) << 4),
-                b2 >> 2,
-            ], axis=-1)
+            from infur_tpu.ops.maskcode import unpack_mask6_np
+            m = unpack_mask6_np(m)
         return m.reshape(b, oh, ow)
 
     def _rle_counts(flat: np.ndarray) -> np.ndarray:
@@ -366,8 +376,8 @@ def main() -> int:
         lo = flat[:, off:off + nr].astype(np.uint16)
         hi = flat[:, off + nr:off + 2 * nr].astype(np.uint16)
         words = (lo | (hi << 8)).reshape(b, oh, RLE_CAP)
-        conf = flat[:, off + 2 * nr:].reshape(b, oh // 2, ow // 2)
-        return decode_runs(counts, words, ow), conf
+        return decode_runs(counts, words, ow), \
+            _conf_decode(flat[:, off + 2 * nr:])
 
     def unpack(outs) -> tuple[np.ndarray, np.ndarray]:
         """Device payload -> (mask u8 full-res, conf u8) on host; confq
@@ -375,8 +385,7 @@ def main() -> int:
         if PACK == "rle":
             if isinstance(outs[0], str):  # cap overflow: confq6 fallback
                 _, flat, m6 = outs
-                conf = flat[:, 2 * oh * (1 + RLE_CAP):] \
-                    .reshape(-1, oh // 2, ow // 2)
+                conf = _conf_decode(flat[:, 2 * oh * (1 + RLE_CAP):])
                 return _unpack6(m6), conf
             return _rle_decode(outs[0])
         if PACK == "p53":

@@ -117,3 +117,84 @@ extern "C" int hop_blend(const uint8_t* mask, const uint8_t* conf,
   for (auto& th : ts) th.join();
   return 0;
 }
+
+// 3-channel blend for the app's low-wire (rle) display path: palette
+// alpha-blended over a COLOR base frame, emitting display-ready RGBA.
+// base is BGR (the pipeline's pixel currency); out is RGBA with a=255.
+// Same floor semantics as hop_blend; conf may be subsampled (quarter-res).
+namespace {
+
+struct Blend3Args {
+  const uint8_t* mask;     // (frames, h, w) class ids
+  const uint8_t* conf;     // (frames, ch, cw) alpha
+  const uint8_t* base;     // (frames, h, w, 3) BGR
+  const uint8_t* palette;  // (pal_len, 3) RGB
+  int pal_len;
+  uint8_t* out;            // (frames, h, w, 4) RGBA
+  int frames, h, w, ch, cw;
+};
+
+void blend3_rows(const Blend3Args& a, int f, int y0, int y1) {
+  const int sy = a.h / a.ch;
+  const int sx = a.w / a.cw;
+  const uint8_t* m = a.mask + (size_t)f * a.h * a.w;
+  const uint8_t* c = a.conf + (size_t)f * a.ch * a.cw;
+  const uint8_t* b = a.base + (size_t)f * a.h * a.w * 3;
+  uint8_t* o = a.out + (size_t)f * a.h * a.w * 4;
+  for (int y = y0; y < y1; ++y) {
+    const uint8_t* crow = c + (size_t)(y / sy) * a.cw;
+    for (int x = 0; x < a.w; ++x) {
+      const size_t i = (size_t)y * a.w + x;
+      const uint8_t* rgb = a.palette + (m[i] % a.pal_len) * 3;
+      const uint8_t* bp = b + i * 3;  // BGR
+      const int32_t alpha = crow[x / sx];
+      uint8_t* op = o + i * 4;
+      for (int k = 0; k < 3; ++k) {
+        const int32_t bb = bp[2 - k];  // BGR -> RGB
+        op[k] = (uint8_t)(bb + floordiv255(((int32_t)rgb[k] - bb) * alpha));
+      }
+      op[3] = 255;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" int hop_blend3(const uint8_t* mask, const uint8_t* conf,
+                          const uint8_t* base, const uint8_t* palette,
+                          int pal_len, uint8_t* out, int frames, int h,
+                          int w, int ch, int cw, int n_threads) {
+  if (!mask || !conf || !base || !palette || !out || pal_len <= 0 ||
+      frames <= 0 || h <= 0 || w <= 0 || ch <= 0 || cw <= 0 || h % ch ||
+      w % cw) {
+    return -1;
+  }
+  Blend3Args a{mask, conf, base, palette, pal_len, out, frames, h, w, ch, cw};
+  int hwc = (int)std::thread::hardware_concurrency();
+  int T = std::max(1, std::min(n_threads > 0 ? n_threads : hwc, frames * 4));
+  if (T == 1) {
+    for (int f = 0; f < frames; ++f) blend3_rows(a, f, 0, h);
+    return 0;
+  }
+  std::vector<std::thread> ts;
+  ts.reserve(T);
+  const int bands_per_frame = std::max(1, T / frames);
+  const int band_h = (h + bands_per_frame - 1) / bands_per_frame;
+  std::vector<std::pair<int, std::pair<int, int>>> items;
+  for (int f = 0; f < frames; ++f)
+    for (int y0 = 0; y0 < h; y0 += band_h)
+      items.push_back({f, {y0, std::min(h, y0 + band_h)}});
+  std::atomic<size_t> next{0};
+  for (int t = 0; t < T; ++t) {
+    ts.emplace_back([&] {
+      for (;;) {
+        size_t i = next.fetch_add(1);
+        if (i >= items.size()) break;
+        blend3_rows(a, items[i].first, items[i].second.first,
+                    items[i].second.second);
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+  return 0;
+}

@@ -59,7 +59,11 @@ def cmd_play(args: argparse.Namespace) -> int:
     from infur_tpu.runtime.trace import profile_trace
     prof_ctx = profile_trace(args.profile) if args.profile \
         else contextlib.nullcontext()
-    handle = start_proc(ProcessingApp(model_bucket=cfg.model_bucket))
+    # the CLI sinks composited (buffer as its no-model fallback): skip the
+    # decoded plane; --wire rle keeps dense RGBA planes off the D2H link
+    handle = start_proc(ProcessingApp(model_bucket=cfg.model_bucket,
+                                      wire=args.wire,
+                                      planes={"composited"}))
     for cmd in cfg.commands():
         handle.send(cmd)
     if args.softmax:
@@ -219,7 +223,7 @@ def cmd_view(args: argparse.Namespace) -> int:
     from infur_tpu.runtime.config import DEFAULT_PATH
     print(f"viewer at http://{args.host}:{args.port}/", flush=True)
     serve(args.host, args.port, config=cfg,
-          config_path=args.config or DEFAULT_PATH)
+          config_path=args.config or DEFAULT_PATH, wire=args.wire)
     return 0
 
 
@@ -356,6 +360,10 @@ def main(argv: list[str] | None = None) -> int:
     play.add_argument("--model-bucket", type=int, default=None,
                       help="round model input dims up to this multiple "
                       "(caps scale-slider recompiles; 0 disables)")
+    play.add_argument("--wire", default="dense", choices=["dense", "rle"],
+                      help="display transport: dense RGBA planes (device "
+                      "composite) or run-coded mask + host composite "
+                      "(~30x fewer D2H bytes; for bandwidth-starved links)")
     play.set_defaults(fn=cmd_play)
 
     info = sub.add_parser("info", help="introspect a model")
@@ -372,6 +380,8 @@ def main(argv: list[str] | None = None) -> int:
     view.add_argument("--model-bucket", type=int, default=32,
                       help="model-input rounding multiple (the slider "
                       "would otherwise compile per position; 0 disables)")
+    view.add_argument("--wire", default="dense", choices=["dense", "rle"],
+                      help="display transport (see play --wire)")
     view.set_defaults(fn=cmd_view)
 
     ev = sub.add_parser("eval", help="mIoU/pixel-acc over labeled .npz data")

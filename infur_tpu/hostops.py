@@ -50,6 +50,10 @@ def _load():
         lib.hop_blend.restype = ctypes.c_int
         lib.hop_unpack6.argtypes = [u8p, u8p, ctypes.c_int64]
         lib.hop_unpack6.restype = ctypes.c_int
+        lib.hop_blend3.argtypes = [u8p, u8p, u8p, u8p, ctypes.c_int, u8p,
+                                   ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                   ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.hop_blend3.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -92,6 +96,55 @@ def blend_overlay(mask: np.ndarray, conf: np.ndarray, base: np.ndarray,
     if rc != 0:
         raise ValueError(f"hop_blend rejected arguments (rc={rc})")
     return out
+
+
+def blend_overlay_bgr(mask: np.ndarray, conf: np.ndarray, base_bgr: np.ndarray,
+                      palette: np.ndarray, out: np.ndarray | None = None,
+                      threads: int = 0) -> np.ndarray:
+    """Palette-over-COLOR-frame composite -> display RGBA (alpha 255).
+
+    ``out_rgb = base_rgb + floor((palette[mask % P] - base_rgb) * conf / 255)``
+    with base given as (F, H, W, 3) **BGR** (the pipeline's pixel currency);
+    conf may be subsampled (e.g. quarter-res).  Native + GIL-free; use
+    :func:`blend_overlay_bgr_np` when :func:`have_hostops` is False.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("hostops native library unavailable")
+    mask = np.ascontiguousarray(mask, np.uint8)
+    conf = np.ascontiguousarray(conf, np.uint8)
+    base_bgr = np.ascontiguousarray(base_bgr, np.uint8)
+    palette = np.ascontiguousarray(palette, np.uint8)
+    f, h, w = mask.shape
+    if base_bgr.shape != (f, h, w, 3):
+        raise ValueError(f"base shape {base_bgr.shape} != {(f, h, w, 3)}")
+    cf, ch, cw = conf.shape
+    if cf != f or h % ch or w % cw:
+        raise ValueError(f"conf shape {conf.shape} incompatible with {mask.shape}")
+    if out is None or out.shape != (f, h, w, 4) or out.dtype != np.uint8 \
+            or not out.flags.c_contiguous:
+        out = np.empty((f, h, w, 4), np.uint8)
+    rc = lib.hop_blend3(_u8p(mask), _u8p(conf), _u8p(base_bgr), _u8p(palette),
+                        palette.shape[0], _u8p(out), f, h, w, ch, cw, threads)
+    if rc != 0:
+        raise ValueError(f"hop_blend3 rejected arguments (rc={rc})")
+    return out
+
+
+def blend_overlay_bgr_np(mask: np.ndarray, conf: np.ndarray,
+                         base_bgr: np.ndarray, palette: np.ndarray
+                         ) -> np.ndarray:
+    """NumPy fallback with hop_blend3's exact integer floor semantics."""
+    f, h, w = mask.shape
+    if conf.shape[-2:] != (h, w):
+        conf = conf.repeat(h // conf.shape[-2], axis=1) \
+                   .repeat(w // conf.shape[-1], axis=2)
+    rgb = palette[mask % palette.shape[0]].astype(np.int32)      # (f,h,w,3) RGB
+    base = base_bgr[..., ::-1].astype(np.int32)                  # BGR -> RGB
+    a = conf.astype(np.int32)[..., None]
+    blended = (base + (rgb - base) * a // 255).astype(np.uint8)
+    alpha = np.full((f, h, w, 1), 255, np.uint8)
+    return np.concatenate([blended, alpha], axis=-1)
 
 
 def unpack_mask6(packed: np.ndarray, out: np.ndarray | None = None

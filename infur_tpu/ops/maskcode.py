@@ -78,3 +78,121 @@ def decode_runs(counts: np.ndarray, words: np.ndarray, w: int) -> np.ndarray:
 def overflowed(counts: np.ndarray, cap: int) -> bool:
     """True when any row exceeded the run cap (decode would be lossy)."""
     return bool(np.asarray(counts, np.int32).max() > cap)
+
+
+def pack_mask6(m):
+    """Device-side LOSSLESS 6-bit id packing: (..., n*4) u8 ids < 64 ->
+    (..., n*3) bytes (4 px -> 3 B).  Host inverse: ``hostops.unpack_mask6``
+    (native) or :func:`unpack_mask6_np`.  Pure u8 shifts — no int64 on
+    this platform."""
+    import jax.numpy as jnp
+
+    q = m.reshape(*m.shape[:-1], -1, 4)
+    return jnp.stack([
+        q[..., 0] | (q[..., 1] << 6),
+        (q[..., 1] >> 2) | (q[..., 2] << 4),
+        (q[..., 2] >> 4) | (q[..., 3] << 2),
+    ], axis=-1).reshape(*m.shape[:-1], -1)
+
+
+def unpack_mask6_np(packed: np.ndarray) -> np.ndarray:
+    """NumPy inverse of :func:`pack_mask6`: (..., n*3) -> (..., n*4)."""
+    t = packed.reshape(*packed.shape[:-1], -1, 3)
+    b0, b1, b2 = t[..., 0], t[..., 1], t[..., 2]
+    return np.stack([
+        b0 & 63,
+        (b0 >> 6) | ((b1 & 15) << 2),
+        (b1 >> 4) | ((b2 & 3) << 4),
+        b2 >> 2,
+    ], axis=-1).reshape(*packed.shape[:-1], -1)
+
+
+def conf_plane_encode(conf, sub: int, bits4: bool = False):
+    """Device-side confidence (alpha) plane for the wire.
+
+    ``conf``: (b, h, w) u8 max-confidence.  Subsamples by ``sub`` x ``sub``
+    mean; with ``bits4`` additionally quantizes to 4-bit codes
+    (``round(v/17)``, x17 reconstruct — 16 alpha levels) packed two per
+    byte.  Returns (b, n) u8 wire bytes.  Host inverse:
+    :func:`conf_plane_decode`.
+    """
+    import jax.numpy as jnp
+
+    b, h, w = conf.shape
+    if h % sub or w % sub:
+        raise ValueError(f"conf plane needs dims divisible by {sub}")
+    c = conf.reshape(b, h // sub, sub, w // sub, sub).astype(jnp.uint16)
+    cq = (c.sum(axis=(2, 4)) // (sub * sub)).astype(jnp.uint8)
+    if not bits4:
+        return cq.reshape(b, -1)
+    n = ((cq.astype(jnp.uint16) + 8) // 17).astype(jnp.uint8).reshape(b, -1)
+    return n[:, 0::2] | (n[:, 1::2] << 4)
+
+
+def conf_plane_decode(plane: np.ndarray, ch: int, cw: int,
+                      bits4: bool = False) -> np.ndarray:
+    """Host inverse of :func:`conf_plane_encode` -> (b, ch, cw) u8."""
+    b = plane.shape[0]
+    if bits4:
+        n = np.empty((b, ch * cw), np.uint8)
+        n[:, 0::2] = plane & 15
+        n[:, 1::2] = plane >> 4
+        plane = n * np.uint8(17)
+    return plane.reshape(b, ch, cw)
+
+
+def payload_nbytes(h: int, w: int, cap: int) -> int:
+    """Size of one frame's :func:`encode_payload` buffer."""
+    return 2 * h + 2 * h * cap + (h // 2) * (w // 2)
+
+
+def encode_payload(mask_hw, conf_hw, cap: int):
+    """Device-side: one frame's mask + confidence -> ONE flat u8 buffer.
+
+    Layout (all little-endian u8 planes, so one D2H fetch moves the whole
+    result — each relay roundtrip costs ~25 ms fixed, BENCH_NOTES.md):
+
+        [counts_lo (h) | counts_hi (h) | words_lo (h*cap) |
+         words_hi (h*cap) | confq ((h//2)*(w//2))]
+
+    ``conf_hw`` is (h, w) u8; it ships at quarter resolution (2x2 mean),
+    the app's accepted alpha granularity.  h and w must be even,
+    ``w <= 1024``.
+    """
+    import jax.numpy as jnp
+
+    h, w = mask_hw.shape
+    if h % 2 or w % 2:
+        raise ValueError(f"encode_payload needs even dims, got {h}x{w}")
+    counts, words = encode_runs(mask_hw[None], cap)
+    counts, words = counts[0], words[0].reshape(-1)
+    c4 = conf_hw.reshape(h // 2, 2, w // 2, 2).astype(jnp.uint16)
+    confq = (c4.sum(axis=(1, 3)) // 4).astype(jnp.uint8)
+    return jnp.concatenate([
+        (counts & 255).astype(jnp.uint8),
+        (counts >> 8).astype(jnp.uint8),
+        (words & 255).astype(jnp.uint8),
+        (words >> 8).astype(jnp.uint8),
+        confq.reshape(-1),
+    ])
+
+
+def decode_payload(flat: np.ndarray, h: int, w: int, cap: int
+                   ) -> tuple[np.ndarray | None, np.ndarray]:
+    """Host inverse of :func:`encode_payload`.
+
+    Returns ``(mask, confq)`` with mask (h, w) u8 and confq (h//2, w//2)
+    u8 — or ``(None, confq)`` when a row overflowed the cap (the caller
+    falls back to its dense plane).
+    """
+    flat = np.asarray(flat)
+    counts = (flat[:h].astype(np.int32) | (flat[h:2 * h].astype(np.int32) << 8))
+    nr = h * cap
+    off = 2 * h
+    lo = flat[off:off + nr].astype(np.uint16)
+    hi = flat[off + nr:off + 2 * nr].astype(np.uint16)
+    confq = flat[off + 2 * nr:].reshape(h // 2, w // 2)
+    if counts.max() > cap:
+        return None, confq
+    words = (lo | (hi << 8)).reshape(1, h, cap)
+    return decode_runs(counts[None], words, w)[0], confq

@@ -485,7 +485,7 @@ def make_handler(state: ViewerState):
 def serve(host: str = "127.0.0.1", port: int = 8793,
           config=None, ready_event: threading.Event | None = None,
           handle: ProcHandle | None = None,
-          config_path: str | None = None) -> None:
+          config_path: str | None = None, wire: str = "dense") -> None:
     """Run the viewer until /cmd {"exit": true} (close handshake:
     Stop+Exit to the proc thread, then join — gui.rs:336-347).  On clean
     shutdown the live config is saved to ``config_path`` (the reference
@@ -493,7 +493,10 @@ def serve(host: str = "127.0.0.1", port: int = 8793,
     if handle is None:
         from infur_tpu.app import ProcessingApp
         bucket = getattr(config, "model_bucket", None)
-        handle = start_proc(ProcessingApp(model_bucket=bucket))
+        # the viewer displays composited (buffer as its no-model fallback):
+        # skip computing/fetching the decoded plane entirely
+        handle = start_proc(ProcessingApp(model_bucket=bucket, wire=wire,
+                                          planes={"composited"}))
     if config is not None:
         for cmd in config.commands():
             handle.send(cmd)

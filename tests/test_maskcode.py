@@ -8,7 +8,10 @@ device-side static-shape scatter encode, host-side vectorized decode.
 import numpy as np
 import pytest
 
-from infur_tpu.ops.maskcode import decode_runs, encode_runs, overflowed
+from infur_tpu.ops.maskcode import (
+    conf_plane_decode, conf_plane_encode, decode_runs, encode_runs,
+    overflowed,
+)
 
 
 def _blobby_mask(rng, b=2, h=32, w=64, n_classes=8):
@@ -86,3 +89,46 @@ class TestOverflow:
         m = np.zeros((1, 1, 2048), np.uint8)
         with pytest.raises(ValueError, match="1024"):
             encode_runs(m, cap=8)
+
+
+class TestConfPlane:
+    """Wire confidence (alpha) plane variants (INFUR_BENCH_CONF)."""
+
+    def test_q2_is_block_mean(self, rng):
+        conf = rng.integers(0, 256, (2, 8, 16), np.uint8)
+        plane = np.asarray(conf_plane_encode(conf, sub=2))
+        out = conf_plane_decode(plane, 4, 8)
+        expect = (conf.reshape(2, 4, 2, 8, 2).astype(np.uint16)
+                  .sum(axis=(2, 4)) // 4).astype(np.uint8)
+        np.testing.assert_array_equal(out, expect)
+
+    def test_q4_is_block_mean(self, rng):
+        conf = rng.integers(0, 256, (1, 8, 16), np.uint8)
+        plane = np.asarray(conf_plane_encode(conf, sub=4))
+        assert plane.shape == (1, 2 * 4)
+        out = conf_plane_decode(plane, 2, 4)
+        expect = (conf.reshape(1, 2, 4, 4, 4).astype(np.uint16)
+                  .sum(axis=(2, 4)) // 16).astype(np.uint8)
+        np.testing.assert_array_equal(out, expect)
+
+    def test_4bit_roundtrip_error_bound(self, rng):
+        conf = rng.integers(0, 256, (2, 8, 16), np.uint8)
+        plane = np.asarray(conf_plane_encode(conf, sub=2, bits4=True))
+        assert plane.shape == (2, 4 * 8 // 2)  # two codes per byte
+        out = conf_plane_decode(plane, 4, 8, bits4=True)
+        mean = (conf.reshape(2, 4, 2, 8, 2).astype(np.uint16)
+                .sum(axis=(2, 4)) // 4).astype(int)
+        # x17 reconstruct of round(v/17): within 8 of the block mean,
+        # and the extremes are exact (0 -> 0, 255 -> 255)
+        assert np.abs(out.astype(int) - mean).max() <= 8
+
+    def test_4bit_extremes_exact(self):
+        conf = np.zeros((1, 4, 8), np.uint8)
+        conf[0, :2] = 255
+        plane = np.asarray(conf_plane_encode(conf, sub=2, bits4=True))
+        out = conf_plane_decode(plane, 2, 4, bits4=True)
+        assert out[0, 0].min() == 255 and out[0, 1].max() == 0
+
+    def test_bad_dims_rejected(self):
+        with pytest.raises(ValueError, match="divisible"):
+            conf_plane_encode(np.zeros((1, 7, 8), np.uint8), sub=2)
