@@ -49,7 +49,12 @@ def step(params, yuv):
     scores = _fcn_forward(params, x, "bfloat16")["out"]
     mask = jnp.argmax(scores, axis=1).astype(jnp.uint8)
     conf = jnp.clip(jnp.max(scores, axis=1) * 255.0, 0, 255).astype(jnp.uint8)
-    return mask, conf
+    # softmax confidence (the app's ColorCmd softmax live control): never
+    # saturates, so it exposes the conf-plane variants' real error where
+    # raw-logit conf may clip to a constant 255
+    csm = (jax.nn.softmax(scores.astype(jnp.float32), axis=1).max(axis=1)
+           * 255.0).astype(jnp.uint8)
+    return mask, conf, csm
 
 
 rdr = RvfReader(bench._fixture_path())
@@ -61,7 +66,7 @@ for _ in range(B):
 rdr.close()
 yuv = np.stack(frames)
 
-mask, conf = (np.asarray(v) for v in step(params, jax.device_put(yuv)))
+mask, conf, conf_sm = (np.asarray(v) for v in step(params, jax.device_put(yuv)))
 yplane = yuv[:, : oh * ow].reshape(B, oh, ow)
 palette = np.asarray(_DEFAULT_PALETTE)
 pal21 = palette[np.arange(32) % len(palette)].astype(np.uint8)
@@ -78,17 +83,20 @@ def composite(conf_hw: np.ndarray) -> np.ndarray:
     return (base + (rgb - base) * a // 255).astype(np.uint8)
 
 
-ref = composite(conf).astype(np.int32)
-print(f"conf-plane fidelity vs full-res conf composite "
-      f"({B} frames @ {ow}x{oh}):")
-print(f"{'variant':8} {'B/px':>7} {'mean|d|':>8} {'p99|d|':>7} {'max|d|':>7}")
-for name, sub, bits4 in (("q2", 2, False), ("q2n4", 2, True),
-                         ("q4", 4, False)):
-    plane = np.asarray(conf_plane_encode(jnp.asarray(conf), sub, bits4))
-    cq = conf_plane_decode(plane, oh // sub, ow // sub, bits4)
-    d = np.abs(composite(cq).astype(np.int32) - ref)
-    bpp = plane.shape[1] / (oh * ow)
-    print(f"{name:8} {bpp:7.4f} {d.mean():8.3f} "
-          f"{np.percentile(d, 99):7.1f} {d.max():7d}")
+for label, c in (("raw-logit", conf), ("softmax", conf_sm)):
+    pct = [int(np.percentile(c, p)) for p in (1, 50, 99)]
+    print(f"{label} conf u8: p1/p50/p99 = {pct}, "
+          f"saturated(=255) {float((c == 255).mean()):.1%}")
+    ref = composite(c).astype(np.int32)
+    print(f"  composite error vs full-res ({B} frames @ {ow}x{oh}):")
+    print(f"  {'variant':8} {'B/px':>7} {'mean|d|':>8} {'p99|d|':>7} {'max|d|':>7}")
+    for name, sub, bits4 in (("q2", 2, False), ("q2n4", 2, True),
+                             ("q4", 4, False)):
+        plane = np.asarray(conf_plane_encode(jnp.asarray(c), sub, bits4))
+        cq = conf_plane_decode(plane, oh // sub, ow // sub, bits4)
+        d = np.abs(composite(cq).astype(np.int32) - ref)
+        bpp = plane.shape[1] / (oh * ow)
+        print(f"  {name:8} {bpp:7.4f} {d.mean():8.3f} "
+              f"{np.percentile(d, 99):7.1f} {d.max():7d}")
 
 os._exit(0)
