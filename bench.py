@@ -29,8 +29,10 @@ into the preprocess by XLA.  The relay transport is the binding constraint
       (INFUR_BENCH_PACK=p53; 8 alpha levels -> visible banding)
   full: round-1 payload (mask u8 + conf u8), INFUR_BENCH_PACK=full
 
-Frames batch 8 per dispatch with one batch in flight (the relay degrades
-beyond 1 — BENCH_NOTES.md).
+Frames batch 8 per dispatch with two batches in flight (DEPTH=2: at the
+delta-ingest payload the relay no longer degrades with a second batch,
+and round-to-round medians tighten — BENCH_NOTES.md; MB-scale payloads
+preferred depth 1).
 
 The measured loop covers the FULL metric definition (BASELINE.md):
 RVF decode (read from disk each batch) -> host scale -> device step ->
@@ -60,6 +62,22 @@ on the metric's raw-logit conf ALL variants are exactly lossless (the
 plane saturates at 255); under the app's optional softmax conf the
 composite error is mean 0.92/255 for q4 vs 0.62 for q2, identical p99
 (19) — q4's 4x fewer bytes are the better trade.
+
+INFUR_BENCH_INGEST picks the H2D transport of the scaled I420 frames
+(LOSSLESS either way — the device always reconstructs byte-identical
+frames; the model input never changes):
+  delta (default) dirty-chunk coding: each batch ships its first frame
+        dense plus, per following frame, the 64-B chunks of the flat
+        I420 buffer that differ from the previous frame (cap
+        INFUR_BENCH_DELTA_CAP=384/frame, u16 index + chunk bytes; the
+        device rebuilds frames with a lax.scan scatter chain).  Any
+        frame over the cap falls the whole batch back to dense —
+        correct for arbitrary content, compact for real video's
+        temporal redundancy (the bench fixture measures ~225 changed
+        chunks/frame of 12150).  Batches are self-contained (no
+        cross-execution device state — that chaining collapses the
+        relay, BENCH_NOTES.md).
+  dense one flat (B, h*w*3/2) u8 upload per batch (rounds 1-3 behavior)
 """
 
 from __future__ import annotations
@@ -79,12 +97,18 @@ N_FIXTURE = 16
 MEASURE_BATCHES = max(48 // BATCH, 3)
 ROUNDS = int(os.environ.get("INFUR_BENCH_ROUNDS", "5"))
 PACK = os.environ.get("INFUR_BENCH_PACK", "rle")  # rle|confq6|confq|p53|full
-DEPTH = int(os.environ.get("INFUR_BENCH_DEPTH", "1"))  # batches in flight
+DEPTH = int(os.environ.get("INFUR_BENCH_DEPTH", "2"))  # batches in flight
 FETCH = int(os.environ.get("INFUR_BENCH_FETCH", "4"))  # concurrent D2H chunks
 RLE_CAP = int(os.environ.get("INFUR_BENCH_RLE_CAP", "64"))  # runs/row cap
 CONF = os.environ.get("INFUR_BENCH_CONF", "q4")  # rle conf plane: q4|q2|q2n4
 if CONF not in ("q2", "q2n4", "q4"):
     raise SystemExit(f"INFUR_BENCH_CONF must be q2|q2n4|q4, got {CONF!r}")
+INGEST = os.environ.get("INFUR_BENCH_INGEST", "delta")  # delta|dense H2D
+if INGEST not in ("delta", "dense"):
+    raise SystemExit(f"INFUR_BENCH_INGEST must be delta|dense, got {INGEST!r}")
+DELTA_CHUNK = 64  # dirty-chunk granularity (bytes of the flat I420 buffer)
+DELTA_CAP = int(os.environ.get("INFUR_BENCH_DELTA_CAP", "384"))  # chunks/frame
+TIMING = os.environ.get("INFUR_BENCH_TIMING", "") == "1"  # per-batch stderr
 NUM_CLASSES_PAD = 32  # argmax yields < 21; p53 unpack can surface 5 bits
 
 
@@ -124,6 +148,10 @@ def _emit(rounds_fps: list[float], lat_ms: list[float],
     if lat_ms:
         out["frame_latency_p50_ms"] = round(float(np.percentile(lat_ms, 50)), 1)
         out["frame_latency_p99_ms"] = round(float(np.percentile(lat_ms, 99)), 1)
+    if link and link.get("ingest"):
+        out["ingest"] = link["ingest"]
+        if link.get("delta_fallbacks") is not None:
+            out["delta_fallback_batches"] = link["delta_fallbacks"]
     if link and link.get("samples_MBps"):
         # transport self-justification (VERDICT r2 #1): measured link
         # bandwidth -> transport-only fps ceiling for this payload ->
@@ -270,9 +298,9 @@ def main() -> int:
     def _conf_decode(plane: np.ndarray) -> np.ndarray:
         return conf_plane_decode(plane, ch, cw, conf_bits4)
 
-    @jax.jit
-    def step(params, yuv_flat_batch):
-        """(B, oh*ow*3/2) I420 u8 -> packed mask/conf (mode-dependent)."""
+    def _infer_pack(params, yuv_flat_batch):
+        """(B, oh*ow*3/2) I420 u8 -> packed mask/conf (mode-dependent);
+        shared by both ingest modes."""
         x = jax.vmap(lambda f: i420_to_normalized_pallas(
             f, oh, ow, compute_dtype="bfloat16"))(yuv_flat_batch)
         scores = _fcn_forward(params, x, "bfloat16")["out"]
@@ -328,6 +356,41 @@ def main() -> int:
         if n_fetch == 1:
             return (packed,)
         return tuple(jnp.split(packed, n_fetch, axis=0))
+
+    step = jax.jit(_infer_pack)
+
+    # dirty-chunk ingest (INFUR_BENCH_INGEST=delta): the flat I420 buffer
+    # as 64-B chunks; LOSSLESS reconstruction on device (ops/framedelta.py).
+    # The whole coded batch ships as ONE u8 buffer (pack_wire): one H2D
+    # transfer instead of three (fixed relay cost per roundtrip).
+    from infur_tpu.ops.framedelta import (
+        decode_delta_wire, encode_delta, pack_wire,
+    )
+    frame_nbytes = oh * ow * 3 // 2
+    use_delta = INGEST == "delta" and frame_nbytes % DELTA_CHUNK == 0 \
+        and BATCH > 1
+    if use_delta:
+        link_info["delta_fallbacks"] = 0
+
+    @jax.jit
+    def step_delta(params, wire):
+        """Dirty-chunk wire buffer -> packed outputs: rebuild
+        byte-identical frames on device, then the shared inference body."""
+        frames = decode_delta_wire(wire, BATCH - 1, DELTA_CAP, DELTA_CHUNK)
+        return _infer_pack(params, frames)
+
+    def pack_delta(sm: np.ndarray):
+        enc = encode_delta(sm, DELTA_CAP, DELTA_CHUNK)
+        return None if enc is None else pack_wire(*enc)
+
+    def dispatch(sm: np.ndarray):
+        """One batch to the device via the configured ingest transport."""
+        if use_delta:
+            d = pack_delta(sm)
+            if d is not None:
+                return step_delta(params, jax.device_put(d))
+            link_info["delta_fallbacks"] += 1
+        return step(params, jax.device_put(sm))
 
     # decode stays INSIDE the measured loop (BASELINE.md metric:
     # decode -> preprocess -> segment -> overlay); the RVF reader loops
@@ -458,17 +521,32 @@ def main() -> int:
             return [np.asarray(o) for o in outs]
         return [_fetch_chunks(outs)]
 
-    # warmup / compile
+    # warmup / compile (BOTH ingest executables when delta is on: the
+    # dense one still serves cap-overflow fallback batches mid-round)
     sm = host_stage(0)
     warm_outs = step(params, jax.device_put(sm))
     composite(sm, fetch_host(warm_outs))
+    in_bytes = sm.nbytes  # per batch
+    if use_delta:
+        d = pack_delta(sm)
+        if d is None:
+            print("bench: fixture exceeds DELTA_CAP at warmup; "
+                  "delta ingest off", file=sys.stderr, flush=True)
+            use_delta = False
+            link_info.pop("delta_fallbacks", None)
+        else:
+            warm_outs = step_delta(params, jax.device_put(d))
+            composite(sm, fetch_host(warm_outs))
+            in_bytes = d.nbytes
+    link_info["ingest"] = (f"delta{DELTA_CHUNK}xcap{DELTA_CAP}"
+                           if use_delta else "dense")
     # the wire cost of one frame, from the actual buffers (in + out).
     # rle: the fallback plane stays on device in the no-overflow case,
     # so only the main payload counts toward the wire
     fetched = warm_outs[0] if PACK == "rle" else warm_outs
     link_info["bytes_per_frame"] = (
-        sm.nbytes + sum(int(np.prod(o.shape)) * o.dtype.itemsize
-                        for o in fetched)) // BATCH
+        in_bytes + sum(int(np.prod(o.shape)) * o.dtype.itemsize
+                       for o in fetched)) // BATCH
     # in-band link bandwidth, pre-run (re-measured post-run: the relay
     # drifts over hours; the ceiling uses the best window observed)
     try:
@@ -476,44 +554,57 @@ def main() -> int:
     except Exception:
         pass
 
-    # measured: one batch in flight on the device; host composites run in
-    # a worker pool overlapping the next batch's device time.  Per-batch
-    # latency (host scale start -> composite done) divides into per-frame
-    # p50/p99; the relay's throughput is highly nondeterministic run to
-    # run (BENCH_NOTES.md), so the headline is best-of-ROUNDS with every
+    # measured: one batch in flight on the device; fetch + host composite
+    # run on ONE finisher worker, overlapping the next batch's decode/
+    # scale/dispatch (timing instrumentation showed the serial fetch at
+    # 70-130 ms/batch on the critical path).  Per-batch latency (host
+    # scale start -> composite done) divides into per-frame p50/p99; the
+    # relay's throughput is highly nondeterministic run to run
+    # (BENCH_NOTES.md), so the headline is best-of-ROUNDS with every
     # round reported.
-    # ONE composite worker: numpy's int blend holds the GIL, so concurrent
+    # ONE finisher worker: numpy's int blend holds the GIL, so concurrent
     # composite threads run 5x slower than serial AND starve the dispatch/
     # fetch threads (measured: 8 jobs serial 1.15 s vs 4-thread pool 7.6 s);
     # the native hostops blend is GIL-free but one worker still suffices.
+    # The finisher's D2H fetches come from a non-dispatching thread — the
+    # same cross-thread pattern the fetch_pool has used since round 2.
     # DEPTH: batches in flight (the relay degrades beyond 1 — BENCH_NOTES).
     pool = ThreadPoolExecutor(1)
 
     def run_round() -> float:
         t_round = time.perf_counter()
         inflight: deque = deque()
-        composites = []
+        finishes: deque = deque()
         n_frames = 0
 
         def finish(entry):
             t0, psm, outs = entry
-            host = fetch_host(outs)
 
             def work():
+                host = fetch_host(outs)
                 composite(psm, host)
                 lat_ms.append((time.perf_counter() - t0) * 1e3)
-            composites.append(pool.submit(work))
+            finishes.append(pool.submit(work))
+            while len(finishes) > 2:  # bound queued device buffers
+                finishes.popleft().result()
 
         for i in range(MEASURE_BATCHES):
             t0 = time.perf_counter()
             small = host_stage(i * BATCH)
-            inflight.append((t0, small, step(params, jax.device_put(small))))
+            t1 = time.perf_counter()
+            inflight.append((t0, small, dispatch(small)))
+            t2 = time.perf_counter()
             n_frames += BATCH
             if len(inflight) > DEPTH:
                 finish(inflight.popleft())
+            if TIMING:
+                print(f"batch {i}: host {1e3 * (t1 - t0):.0f} ms, "
+                      f"pack+dispatch {1e3 * (t2 - t1):.0f} ms, "
+                      f"queue {1e3 * (time.perf_counter() - t2):.0f} ms",
+                      file=sys.stderr, flush=True)
         while inflight:
             finish(inflight.popleft())
-        for f in composites:
+        for f in list(finishes):
             f.result()
         return n_frames / (time.perf_counter() - t_round)
 

@@ -1,0 +1,113 @@
+"""Dirty-chunk (temporal-delta) coding of raw frame batches for H2D.
+
+Raw decoded video is temporally redundant — the reference ships every
+frame dense over an OS pipe (reference ff-video/src/decoder.rs:156-165,
+fine at process-pipe bandwidth); on a bandwidth-starved host->device
+link the redundancy is worth exploiting.  A batch is coded as its first
+frame dense (self-contained: no cross-execution device state, which
+collapses this environment's relay — BENCH_NOTES.md) plus, per
+following frame, the fixed-size chunks of the flat frame buffer that
+differ from the previous frame.  The coding is LOSSLESS: the device
+rebuilds byte-identical frames, and a frame whose dirty-chunk count
+exceeds the static cap signals the caller to ship the batch dense.
+
+Host encode is vectorized NumPy; device rebuild is one ``lax.scan``
+scatter chain (static shapes, XLA-friendly).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def encode_delta(batch: np.ndarray, cap: int, chunk: int = 64):
+    """(B, nbytes) u8 frames -> ``(base, idx, data)`` or ``None``.
+
+    ``base`` is frame 0 dense ``(nbytes,)``; ``idx`` ``(B-1, cap)`` u16
+    chunk indices and ``data`` ``(B-1, cap, chunk)`` u8 chunk bytes code
+    each following frame against its predecessor.  Padding slots target
+    chunk 0 with the frame's own chunk-0 bytes, so duplicate scatter
+    indices always carry identical values (deterministic).  Returns
+    ``None`` when any frame changes more than ``cap`` chunks (caller
+    ships dense) — also when the geometry doesn't divide or u16 can't
+    index the chunks.
+    """
+    b, nbytes = batch.shape
+    if b < 2 or nbytes % chunk or nbytes // chunk > 65536:
+        return None
+    n_chunks = nbytes // chunk
+    chv = batch.reshape(b, n_chunks, chunk)
+    idx = np.zeros((b - 1, cap), np.uint16)
+    data = np.empty((b - 1, cap, chunk), np.uint8)
+    for j in range(1, b):
+        nz = np.flatnonzero((chv[j] != chv[j - 1]).any(axis=1))
+        if nz.size > cap:
+            return None
+        idx[j - 1, : nz.size] = nz
+        data[j - 1, : nz.size] = chv[j, nz]
+        data[j - 1, nz.size:] = chv[j, 0]
+    return np.ascontiguousarray(batch[0]), idx, data
+
+
+def decode_delta(base, idx, data):
+    """Device-side inverse of :func:`encode_delta` -> (B, nbytes) u8.
+
+    Rebuilds the batch with a ``lax.scan`` over the delta frames; each
+    step scatters that frame's dirty chunks into the running frame.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n_upd, cap, chunk = data.shape
+    base2 = base.reshape(-1, chunk)
+
+    def sc(carry, upd):
+        i, c = upd
+        nxt = carry.at[i.astype(jnp.int32)].set(c)
+        return nxt, nxt
+
+    _, rest = jax.lax.scan(sc, base2, (idx, data))
+    frames = jnp.concatenate([base2[None], rest], axis=0)
+    return frames.reshape(n_upd + 1, -1)
+
+
+def pack_wire(base: np.ndarray, idx: np.ndarray,
+              data: np.ndarray) -> np.ndarray:
+    """One flat u8 upload buffer for :func:`encode_delta`'s output — a
+    single H2D transfer instead of three (each relay roundtrip has fixed
+    cost).  Layout: ``[base | idx_lo | idx_hi | data]``; invert with
+    :func:`decode_delta_wire` given the static geometry."""
+    return np.concatenate([
+        base,
+        (idx & 255).astype(np.uint8).ravel(),
+        (idx >> 8).astype(np.uint8).ravel(),
+        data.ravel(),
+    ])
+
+
+def decode_delta_wire(flat, n_upd: int, cap: int, chunk: int):
+    """Device-side: :func:`pack_wire` buffer -> (B, nbytes) u8 frames."""
+    import jax.numpy as jnp
+
+    n = flat.shape[0] - cap * n_upd * (2 + chunk)
+    base = flat[:n]
+    off = n
+    lo = flat[off:off + n_upd * cap].astype(jnp.uint16)
+    off += n_upd * cap
+    hi = flat[off:off + n_upd * cap].astype(jnp.uint16)
+    off += n_upd * cap
+    idx = (lo | (hi << 8)).reshape(n_upd, cap)
+    data = flat[off:].reshape(n_upd, cap, chunk)
+    return decode_delta(base, idx, data)
+
+
+def decode_delta_np(base: np.ndarray, idx: np.ndarray,
+                    data: np.ndarray) -> np.ndarray:
+    """NumPy twin of :func:`decode_delta` (tests / host fallback)."""
+    n_upd, cap, chunk = data.shape
+    cur = base.reshape(-1, chunk).copy()
+    out = [base.copy()]
+    for j in range(n_upd):
+        cur[idx[j].astype(np.int64)] = data[j]
+        out.append(cur.reshape(-1).copy())
+    return np.stack(out)
