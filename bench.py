@@ -94,7 +94,10 @@ W, H = 1920, 1080
 SCALE = 0.5
 BATCH = int(os.environ.get("INFUR_BENCH_BATCH", "8"))
 N_FIXTURE = 16
-MEASURE_BATCHES = max(48 // BATCH, 3)
+# frames per measured round: long enough that pipeline fill/drain don't
+# bias the steady-state rate (~2.7 s/round at the measured ~50 fps)
+MEASURE_FRAMES = int(os.environ.get("INFUR_BENCH_FRAMES", "128"))
+MEASURE_BATCHES = max(MEASURE_FRAMES // BATCH, 3)
 ROUNDS = int(os.environ.get("INFUR_BENCH_ROUNDS", "5"))
 PACK = os.environ.get("INFUR_BENCH_PACK", "rle")  # rle|confq6|confq|p53|full
 DEPTH = int(os.environ.get("INFUR_BENCH_DEPTH", "2"))  # batches in flight
@@ -152,6 +155,9 @@ def _emit(rounds_fps: list[float], lat_ms: list[float],
         out["ingest"] = link["ingest"]
         if link.get("delta_fallbacks") is not None:
             out["delta_fallback_batches"] = link["delta_fallbacks"]
+        if link.get("delta_dirty_chunks_per_frame"):
+            out["delta_dirty_chunks_per_frame"] = \
+                link["delta_dirty_chunks_per_frame"]
     if link and link.get("samples_MBps"):
         # transport self-justification (VERDICT r2 #1): measured link
         # bandwidth -> transport-only fps ceiling for this payload ->
@@ -538,6 +544,12 @@ def main() -> int:
             warm_outs = step_delta(params, jax.device_put(d))
             composite(sm, fetch_host(warm_outs))
             in_bytes = d.nbytes
+            # transparency: the measured temporal redundancy behind the
+            # delta wire size, from the warm batch
+            chv = sm.reshape(BATCH, -1, DELTA_CHUNK)
+            link_info["delta_dirty_chunks_per_frame"] = [
+                int((chv[j] != chv[j - 1]).any(axis=1).sum())
+                for j in range(1, BATCH)]
     link_info["ingest"] = (f"delta{DELTA_CHUNK}xcap{DELTA_CAP}"
                            if use_delta else "dense")
     # the wire cost of one frame, from the actual buffers (in + out).
@@ -572,6 +584,17 @@ def main() -> int:
     pool = ThreadPoolExecutor(1)
 
     def run_round() -> float:
+        # GC pauses showed up as 140-280 ms host-stage spikes on the
+        # dispatch thread; collect between rounds instead of mid-round
+        import gc
+        gc.collect()
+        gc.disable()
+        try:
+            return _run_round_inner()
+        finally:
+            gc.enable()
+
+    def _run_round_inner() -> float:
         t_round = time.perf_counter()
         inflight: deque = deque()
         finishes: deque = deque()
