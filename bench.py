@@ -100,6 +100,9 @@ MEASURE_FRAMES = int(os.environ.get("INFUR_BENCH_FRAMES", "128"))
 MEASURE_BATCHES = max(MEASURE_FRAMES // BATCH, 3)
 ROUNDS = int(os.environ.get("INFUR_BENCH_ROUNDS", "5"))
 PACK = os.environ.get("INFUR_BENCH_PACK", "rle")  # rle|confq6|confq|p53|full
+if PACK not in ("rle", "confq6", "confq", "p53", "full"):
+    raise SystemExit(
+        f"INFUR_BENCH_PACK must be rle|confq6|confq|p53|full, got {PACK!r}")
 DEPTH = int(os.environ.get("INFUR_BENCH_DEPTH", "2"))  # batches in flight
 FETCH = int(os.environ.get("INFUR_BENCH_FETCH", "4"))  # concurrent D2H chunks
 RLE_CAP = int(os.environ.get("INFUR_BENCH_RLE_CAP", "64"))  # runs/row cap
@@ -158,6 +161,13 @@ def _emit(rounds_fps: list[float], lat_ms: list[float],
         if link.get("delta_dirty_chunks_per_frame"):
             out["delta_dirty_chunks_per_frame"] = \
                 link["delta_dirty_chunks_per_frame"]
+    if link and link.get("roundtrip_ms") is not None:
+        # fixed relay cost per dispatch+fetch roundtrip: with the delta
+        # wire the pipeline is latency-bound, and best-round batch time
+        # (batch_ms_best) reads as k roundtrips + wire/link + exec
+        out["roundtrip_ms"] = round(link["roundtrip_ms"], 1)
+    if best and link and link.get("batch_frames"):
+        out["batch_ms_best"] = round(1e3 * link["batch_frames"] / best, 1)
     if link and link.get("samples_MBps"):
         # transport self-justification (VERDICT r2 #1): measured link
         # bandwidth -> transport-only fps ceiling for this payload ->
@@ -214,6 +224,22 @@ def _preflight_wait(budget_s: float) -> bool:
     return False
 
 
+def _measure_roundtrip_ms(jax, jnp) -> float:
+    """In-band fixed cost of one dispatch+fetch relay roundtrip (a tiny
+    device-generated buffer; transfer time is negligible at 8 B).  With
+    the delta-ingest wire at ~0.2 MB/frame the pipeline is bound by
+    these fixed costs, not bandwidth — emitting it lets the JSON line
+    justify the gap to the bandwidth-only ceiling_fps."""
+    mk = jax.jit(lambda i: jnp.full((8,), i, jnp.uint8))
+    np.asarray(mk(0))  # compile
+    ts = []
+    for i in (1, 2, 3):
+        t0 = time.perf_counter()
+        np.asarray(mk(i))
+        ts.append(time.perf_counter() - t0)
+    return min(ts) * 1e3
+
+
 def _measure_link_mbps(jax, jnp) -> float:
     """In-band D2H link bandwidth by the size-slope method: fetch a small
     and a large device-generated buffer, subtract — the relay's fixed
@@ -264,7 +290,10 @@ def main() -> int:
                 return  # clean finish
             seen = now
 
-    preflight = float(os.environ.get("INFUR_BENCH_PREFLIGHT_S", "900"))
+    # relay wedges cycle for hours some days (BENCH_NOTES.md); a measured
+    # run takes ~2 min once a window opens, so waiting long is cheap
+    # relative to recording a zero
+    preflight = float(os.environ.get("INFUR_BENCH_PREFLIGHT_S", "1800"))
     if not _preflight_wait(preflight):
         _emit([], [])  # relay never recovered: honest zero line
         return 0
@@ -386,7 +415,8 @@ def main() -> int:
         return _infer_pack(params, frames)
 
     def pack_delta(sm: np.ndarray):
-        enc = encode_delta(sm, DELTA_CAP, DELTA_CHUNK)
+        enc = (_ho.delta_encode(sm, DELTA_CAP, DELTA_CHUNK) if native_host
+               else encode_delta(sm, DELTA_CAP, DELTA_CHUNK))
         return None if enc is None else pack_wire(*enc)
 
     def dispatch(sm: np.ndarray):
@@ -407,18 +437,31 @@ def main() -> int:
 
     palette = np.asarray(_DEFAULT_PALETTE)
 
+    try:  # native host stage (csrc/hostops.cpp): GIL-free scale + delta
+        from infur_tpu import hostops as _ho
+        native_host = _ho.have_hostops()
+    except Exception:
+        native_host = False
+
+    scaled_n = oh * ow * 3 // 2
+
     def host_stage(i0: int) -> np.ndarray:
         """RVF decode + host Scale on decode-native frames (per-plane
-        nearest) for one batch."""
-        out = []
-        for _ in range(BATCH):
+        nearest, native when the toolchain built hostops — the numpy
+        gather held the GIL for ~4 ms/frame against the finisher
+        thread's fetches) for one batch."""
+        out = np.empty((BATCH, scaled_n), np.uint8)
+        for j in range(BATCH):
             try:
                 rdr.read_frame_into(rbuf)
             except VideoEOF:
                 rdr.seek(0)
                 rdr.read_frame_into(rbuf)
-            out.append(scale_i420(rbuf, H, W, oh, ow))
-        return np.stack(out)
+            if native_host:
+                _ho.scale_i420(rbuf, H, W, oh, ow, out=out[j])
+            else:
+                out[j] = scale_i420(rbuf, H, W, oh, ow)
+        return out
 
     def _unpack6(m: np.ndarray) -> np.ndarray:
         """Host inverse of _pack6 -> (b, oh, ow) class ids."""
@@ -561,8 +604,10 @@ def main() -> int:
                        for o in fetched)) // BATCH
     # in-band link bandwidth, pre-run (re-measured post-run: the relay
     # drifts over hours; the ceiling uses the best window observed)
+    link_info["batch_frames"] = BATCH
     try:
         link_info["samples_MBps"].append(_measure_link_mbps(jax, jnp))
+        link_info["roundtrip_ms"] = _measure_roundtrip_ms(jax, jnp)
     except Exception:
         pass
 

@@ -15,6 +15,7 @@
 #include <algorithm>
 #include <atomic>
 #include <cstdint>
+#include <cstring>
 #include <thread>
 #include <utility>
 #include <vector>
@@ -197,4 +198,98 @@ extern "C" int hop_blend3(const uint8_t* mask, const uint8_t* conf,
   }
   for (auto& th : ts) th.join();
   return 0;
+}
+
+// Host Scale stage, native: nearest resize of a flat I420 frame.
+// Bit-exact twin of ops/yuv.py scale_i420 (the reference's resize is
+// native too — fast_image_resize, infur/src/processing.rs:278): index
+// math in double, ((t + 0.5) * p) / t truncated then clamped.
+namespace {
+
+void nn_plane(const uint8_t* src, int ph, int pw, uint8_t* dst, int th,
+              int tw) {
+  std::vector<int> xs(tw);
+  for (int x = 0; x < tw; ++x) {
+    int v = (int)(((x + 0.5) * pw) / tw);
+    xs[x] = v < pw - 1 ? v : pw - 1;
+  }
+  for (int y = 0; y < th; ++y) {
+    int sy = (int)(((y + 0.5) * ph) / th);
+    if (sy > ph - 1) sy = ph - 1;
+    const uint8_t* row = src + (size_t)sy * pw;
+    uint8_t* out = dst + (size_t)y * tw;
+    for (int x = 0; x < tw; ++x) out[x] = row[xs[x]];
+  }
+}
+
+}  // namespace
+
+extern "C" int hop_scale_i420(const uint8_t* src, uint8_t* dst, int h,
+                              int w, int oh, int ow) {
+  if (!src || !dst || h <= 0 || w <= 0 || oh <= 0 || ow <= 0 || h % 2 ||
+      w % 2 || oh % 2 || ow % 2) {
+    return -1;
+  }
+  const size_t sy = (size_t)w * h, sq = sy / 4;
+  const size_t dy = (size_t)ow * oh, dq = dy / 4;
+  nn_plane(src, h, w, dst, oh, ow);
+  nn_plane(src + sy, h / 2, w / 2, dst + dy, oh / 2, ow / 2);
+  nn_plane(src + sy + sq, h / 2, w / 2, dst + dy + dq, oh / 2, ow / 2);
+  return 0;
+}
+
+// Dirty-chunk delta encode, native: twin of ops/framedelta.py
+// encode_delta's per-frame loop (memcmp per chunk + gather), parallel
+// over the B-1 delta frames.  Returns 0 ok, 1 when any frame exceeds
+// cap (caller ships dense), -1 bad args.  Pad slots: idx 0 + the
+// frame's own chunk-0 bytes (identical values on duplicate indices).
+extern "C" int hop_delta_encode(const uint8_t* frames, int b,
+                                int64_t n_chunks, int chunk, int cap,
+                                uint16_t* idx, uint8_t* data,
+                                int n_threads) {
+  if (!frames || !idx || !data || b < 2 || n_chunks <= 0 ||
+      n_chunks > 65536 || chunk <= 0 || cap <= 0) {
+    return -1;
+  }
+  const size_t fbytes = (size_t)n_chunks * chunk;
+  std::atomic<int> overflow{0};
+  int hwc = (int)std::thread::hardware_concurrency();
+  int T = std::max(1, std::min(n_threads > 0 ? n_threads : hwc, b - 1));
+  auto worker = [&](int j0, int j1) {
+    for (int j = j0; j < j1 && !overflow.load(std::memory_order_relaxed);
+         ++j) {
+      const uint8_t* prev = frames + (size_t)j * fbytes;
+      const uint8_t* cur = prev + fbytes;
+      uint16_t* oi = idx + (size_t)j * cap;
+      uint8_t* od = data + (size_t)j * cap * chunk;
+      int n = 0;
+      for (int64_t c = 0; c < n_chunks; ++c) {
+        if (memcmp(prev + c * chunk, cur + c * chunk, chunk) != 0) {
+          if (n == cap) {
+            overflow.store(1, std::memory_order_relaxed);
+            return;
+          }
+          oi[n] = (uint16_t)c;
+          memcpy(od + (size_t)n * chunk, cur + c * chunk, chunk);
+          ++n;
+        }
+      }
+      for (; n < cap; ++n) {
+        oi[n] = 0;
+        memcpy(od + (size_t)n * chunk, cur, chunk);
+      }
+    }
+  };
+  if (T == 1) {
+    worker(0, b - 1);
+  } else {
+    std::vector<std::thread> ts;
+    const int per = (b - 1 + T - 1) / T;
+    for (int t = 0; t < T; ++t) {
+      int j0 = t * per, j1 = std::min(b - 1, j0 + per);
+      if (j0 < j1) ts.emplace_back(worker, j0, j1);
+    }
+    for (auto& th : ts) th.join();
+  }
+  return overflow.load() ? 1 : 0;
 }

@@ -35,14 +35,10 @@ def _build() -> bool:
         return False
 
 
-def _load():
-    global _lib
-    with _lib_lock:
-        if _lib is not None:
-            return _lib
-        if not os.path.exists(_SO) and not _build():
-            return None
-        lib = ctypes.CDLL(_SO)
+def _bind(lib) -> bool:
+    """Declare every exported symbol's signature; False on a stale .so
+    (built before a symbol existed) so the caller can rebuild."""
+    try:
         u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.hop_blend.argtypes = [u8p, u8p, u8p, u8p, ctypes.c_int, u8p,
                                   ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -54,6 +50,39 @@ def _load():
                                    ctypes.c_int, ctypes.c_int, ctypes.c_int,
                                    ctypes.c_int, ctypes.c_int, ctypes.c_int]
         lib.hop_blend3.restype = ctypes.c_int
+        lib.hop_scale_i420.argtypes = [u8p, u8p, ctypes.c_int, ctypes.c_int,
+                                       ctypes.c_int, ctypes.c_int]
+        lib.hop_scale_i420.restype = ctypes.c_int
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        lib.hop_delta_encode.argtypes = [u8p, ctypes.c_int, ctypes.c_int64,
+                                         ctypes.c_int, ctypes.c_int, u16p,
+                                         u8p, ctypes.c_int]
+        lib.hop_delta_encode.restype = ctypes.c_int
+        return True
+    except AttributeError:
+        return False
+
+
+def _load():
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_SO) and not _build():
+            return None
+        lib = ctypes.CDLL(_SO)
+        if not _bind(lib):
+            # stale prebuilt .so: make is incremental but keys on mtime,
+            # which a checkout can leave older than the sources — force
+            # a rebuild once, then give up gracefully (NumPy fallback)
+            try:
+                subprocess.run(["make", "-C", _CSRC, "-sB"],
+                               capture_output=True, timeout=120)
+            except (OSError, subprocess.TimeoutExpired):
+                return None
+            lib = ctypes.CDLL(_SO)
+            if not _bind(lib):
+                return None
         _lib = lib
         return _lib
 
@@ -145,6 +174,53 @@ def blend_overlay_bgr_np(mask: np.ndarray, conf: np.ndarray,
     blended = (base + (rgb - base) * a // 255).astype(np.uint8)
     alpha = np.full((f, h, w, 1), 255, np.uint8)
     return np.concatenate([blended, alpha], axis=-1)
+
+
+def scale_i420(flat: np.ndarray, h: int, w: int, oh: int, ow: int,
+               out: np.ndarray | None = None) -> np.ndarray:
+    """Native nearest resize of a flat I420 frame — bit-exact twin of
+    ``ops.yuv.scale_i420`` (GIL-free; the host Scale stage of the bench
+    pipeline).  ``out`` may be any (oh*ow*3//2,) u8 view (e.g. a batch
+    row) to skip the copy."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("hostops native library unavailable")
+    flat = np.ascontiguousarray(flat, np.uint8)
+    n = oh * ow * 3 // 2
+    if out is None:
+        out = np.empty(n, np.uint8)
+    elif out.shape != (n,) or out.dtype != np.uint8 or not out.flags.c_contiguous:
+        raise ValueError("out must be a contiguous (oh*ow*3//2,) u8 array")
+    rc = lib.hop_scale_i420(_u8p(flat), _u8p(out), h, w, oh, ow)
+    if rc != 0:
+        raise ValueError(f"hop_scale_i420 rejected arguments (rc={rc})")
+    return out
+
+
+def delta_encode(batch: np.ndarray, cap: int, chunk: int = 64,
+                 threads: int = 0):
+    """Native twin of ``ops.framedelta.encode_delta`` (parallel over the
+    delta frames, GIL-free): (B, nbytes) u8 -> (base, idx, data) or
+    ``None`` on cap overflow / bad geometry."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("hostops native library unavailable")
+    batch = np.ascontiguousarray(batch, np.uint8)
+    b, nbytes = batch.shape
+    if b < 2 or nbytes % chunk or nbytes // chunk > 65536:
+        return None
+    n_chunks = nbytes // chunk
+    idx = np.empty((b - 1, cap), np.uint16)
+    data = np.empty((b - 1, cap, chunk), np.uint8)
+    rc = lib.hop_delta_encode(
+        _u8p(batch), b, n_chunks, chunk, cap,
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), _u8p(data),
+        threads)
+    if rc == 1:
+        return None
+    if rc != 0:
+        raise ValueError(f"hop_delta_encode rejected arguments (rc={rc})")
+    return np.ascontiguousarray(batch[0]), idx, data
 
 
 def unpack_mask6(packed: np.ndarray, out: np.ndarray | None = None

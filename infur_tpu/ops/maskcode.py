@@ -166,8 +166,7 @@ def encode_payload(mask_hw, conf_hw, cap: int):
         raise ValueError(f"encode_payload needs even dims, got {h}x{w}")
     counts, words = encode_runs(mask_hw[None], cap)
     counts, words = counts[0], words[0].reshape(-1)
-    c4 = conf_hw.reshape(h // 2, 2, w // 2, 2).astype(jnp.uint16)
-    confq = (c4.sum(axis=(1, 3)) // 4).astype(jnp.uint8)
+    confq = conf_plane_encode(conf_hw[None], sub=2)[0]
     return jnp.concatenate([
         (counts & 255).astype(jnp.uint8),
         (counts >> 8).astype(jnp.uint8),

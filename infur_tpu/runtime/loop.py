@@ -70,26 +70,29 @@ def _materialize(frame: GUIFrame, planes: frozenset) -> None:
                 else unpack_mask6_np(m6)).reshape(h, w)
     frame.wire_payload = frame.wire_fallback = None
     palette = np.asarray(_DEFAULT_PALETTE)
-    try:
-        from infur_tpu.hostops import blend_overlay_bgr, have_hostops
-        native = have_hostops()
-    except Exception:
-        native = False
-    if native:
-        frame.composited = blend_overlay_bgr(
-            mask[None], confq[None], base[None], palette)[0]
-    else:
-        from infur_tpu.hostops import blend_overlay_bgr_np
-        frame.composited = blend_overlay_bgr_np(
-            mask[None], confq[None], base[None], palette)[0]
+    if "composited" in planes:
+        try:
+            from infur_tpu.hostops import blend_overlay_bgr, have_hostops
+            native = have_hostops()
+        except Exception:
+            native = False
+        if native:
+            frame.composited = blend_overlay_bgr(
+                mask[None], confq[None], base[None], palette)[0]
+        else:
+            from infur_tpu.hostops import blend_overlay_bgr_np
+            frame.composited = blend_overlay_bgr_np(
+                mask[None], confq[None], base[None], palette)[0]
     if "decoded" in planes:
         rgb = palette[mask % palette.shape[0]]
         alpha = confq.repeat(h // confq.shape[0], axis=0) \
                      .repeat(w // confq.shape[1], axis=1)
         frame.decoded = np.concatenate([rgb, alpha[..., None]], axis=-1)
-    if "buffer" in planes:
-        frame.buffer = np.concatenate(
-            [base[..., ::-1], np.full((h, w, 1), 255, np.uint8)], axis=-1)
+    # buffer on request, or as the fallback plane when no composite was
+    # requested (same contract as the dense path in app.advance)
+    if "buffer" in planes or frame.composited is None:
+        from infur_tpu.app import _rgba_host
+        frame.buffer = _rgba_host(base)
 
 
 def proc_loop(ctrl_rx: "queue.Queue[AppCmd | None]",

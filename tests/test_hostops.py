@@ -98,3 +98,72 @@ def test_unpack_mask6_matches_numpy(rng):
         ((q[..., 2] >> 4) | (q[..., 3] << 2)).astype(np.uint8),
     ], axis=-1).reshape(3, -1)
     np.testing.assert_array_equal(unpack_mask6(packed), m)
+
+
+class TestScaleI420:
+    def test_bit_exact_vs_numpy(self, rng):
+        from infur_tpu.hostops import scale_i420 as native
+        from infur_tpu.ops.yuv import scale_i420 as ref
+        h, w, oh, ow = 36, 64, 18, 32
+        flat = rng.integers(0, 256, h * w * 3 // 2, np.uint8)
+        np.testing.assert_array_equal(native(flat, h, w, oh, ow),
+                                      ref(flat, h, w, oh, ow))
+
+    def test_non_integer_ratio_exact(self, rng):
+        from infur_tpu.hostops import scale_i420 as native
+        from infur_tpu.ops.yuv import scale_i420 as ref
+        h, w, oh, ow = 30, 44, 22, 28  # awkward ratios hit the index math
+        flat = rng.integers(0, 256, h * w * 3 // 2, np.uint8)
+        np.testing.assert_array_equal(native(flat, h, w, oh, ow),
+                                      ref(flat, h, w, oh, ow))
+
+    def test_out_view_write(self, rng):
+        from infur_tpu.hostops import scale_i420 as native
+        h, w, oh, ow = 16, 16, 8, 8
+        flat = rng.integers(0, 256, h * w * 3 // 2, np.uint8)
+        batch = np.zeros((2, oh * ow * 3 // 2), np.uint8)
+        got = native(flat, h, w, oh, ow, out=batch[1])
+        assert got.base is batch
+        assert (batch[0] == 0).all() and batch[1].any()
+
+    def test_odd_dims_rejected(self):
+        from infur_tpu.hostops import scale_i420 as native
+        with pytest.raises(ValueError):
+            native(np.zeros(15 * 16 * 3 // 2, np.uint8), 15, 16, 8, 8)
+
+
+class TestDeltaEncode:
+    def test_matches_python_encoder(self, rng):
+        from infur_tpu.hostops import delta_encode as native
+        from infur_tpu.ops.framedelta import encode_delta as ref
+        b, n_chunks, chunk = 5, 40, 16
+        frames = np.empty((b, n_chunks * chunk), np.uint8)
+        frames[0] = rng.integers(0, 256, n_chunks * chunk, np.uint8)
+        for j in range(1, b):
+            frames[j] = frames[j - 1]
+            ch = frames[j].reshape(n_chunks, chunk)
+            for i in rng.choice(n_chunks, 3, replace=False):
+                ch[i] = rng.integers(0, 256, chunk, np.uint8)
+        got, want = native(frames, cap=8, chunk=chunk), \
+            ref(frames, cap=8, chunk=chunk)
+        for g, w_ in zip(got, want):
+            np.testing.assert_array_equal(g, w_)
+
+    def test_overflow_returns_none(self, rng):
+        from infur_tpu.hostops import delta_encode as native
+        frames = np.stack([rng.integers(0, 256, 640, np.uint8)
+                           for _ in range(3)])
+        assert native(frames, cap=4, chunk=16) is None
+
+    def test_roundtrip_through_device_decoder(self, rng):
+        from infur_tpu.hostops import delta_encode as native
+        from infur_tpu.ops.framedelta import decode_delta_np
+        b, n_chunks, chunk = 4, 30, 8
+        frames = np.empty((b, n_chunks * chunk), np.uint8)
+        frames[0] = rng.integers(0, 256, n_chunks * chunk, np.uint8)
+        for j in range(1, b):
+            frames[j] = frames[j - 1]
+            frames[j].reshape(n_chunks, chunk)[j * 2] = j
+        enc = native(frames, cap=4, chunk=chunk)
+        assert enc is not None
+        np.testing.assert_array_equal(decode_delta_np(*enc), frames)
