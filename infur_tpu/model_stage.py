@@ -115,6 +115,10 @@ def _parse_spec_query(spec: str) -> tuple[str, dict[str, str]]:
     * ``pct=<percentile>``         outlier-robust calibration: activation
       ranges are two-sided percentiles (e.g. 99.9) instead of min/max,
       so rare spikes don't stretch the u8 grid — only valid with ``:int8``
+    * ``cal=minmax|entropy``       calibration range estimator: exact
+      min/max (default) or KL-divergence-optimal clipping (ort's Entropy
+      calibrater analog; needs no hand-picked tail mass) — only valid
+      with ``:int8``, mutually exclusive with ``pct=``
     """
     base, _, query = spec.partition("?")
     if not query:
@@ -125,12 +129,13 @@ def _parse_spec_query(spec: str) -> tuple[str, dict[str, str]]:
             continue
         key, eq, val = part.partition("=")
         if not eq or key not in ("order", "norm", "mean", "std", "interp",
-                                 "calib", "pct"):
+                                 "calib", "pct", "cal"):
             raise ModelLoadError(
                 f"bad preprocess override {part!r} in {spec!r} "
-                "(expected order=/norm=/mean=/std=/interp=/calib=/pct=)")
+                "(expected order=/norm=/mean=/std=/interp=/calib=/pct=/cal=)")
         ov[key] = val
-    pp_only = {k: v for k, v in ov.items() if k not in ("calib", "pct")}
+    pp_only = {k: v for k, v in ov.items()
+               if k not in ("calib", "pct", "cal")}
     _apply_overrides(PreProc(out_hw=(1, 1)), pp_only)  # eager validation
     return base, ov
 
@@ -215,9 +220,9 @@ class _OnnxBackend:
         # (mean/std included), not just the norm key.
         merged = _metadata_overrides(self.imported.metadata)
         query = overrides or {}
-        if "calib" in query or "pct" in query:
+        if "calib" in query or "pct" in query or "cal" in query:
             raise ModelLoadError(
-                "calib=/pct= apply to native-family :int8 specs, not "
+                "calib=/pct=/cal= apply to native-family :int8 specs, not "
                 "imported .onnx files (quantize those before export)")
         if "norm" in query:
             merged.pop("mean", None)
@@ -297,9 +302,10 @@ class _NativeBackend:
         calib_src = self.overrides.pop("calib", None)
         self._calib_src = calib_src
         pct = self.overrides.pop("pct", None)
-        if (calib_src or pct) and not int8:
+        cal = self.overrides.pop("cal", None)
+        if (calib_src or pct or cal) and not int8:
             raise ModelLoadError(
-                "calib=/pct= are only meaningful with the :int8 opt")
+                "calib=/pct=/cal= are only meaningful with the :int8 opt")
         if pct is not None:
             try:
                 pct = float(pct)
@@ -308,7 +314,14 @@ class _NativeBackend:
             except ValueError:
                 raise ModelLoadError(
                     f"pct= must be a percentile in (50, 100], got {pct!r}")
+        if cal is not None and cal not in ("minmax", "entropy"):
+            raise ModelLoadError(
+                f"cal= must be minmax|entropy, got {cal!r}")
+        if cal == "entropy" and pct is not None:
+            raise ModelLoadError("cal=entropy and pct= are mutually "
+                                 "exclusive range estimators")
         self._calib_pct = pct
+        self._calib_entropy = cal == "entropy"
         if int8:
             if self.compute_dtype != "float32" or mesh_spec:
                 raise ModelLoadError("int8 excludes bf16/mesh= opts")
@@ -343,7 +356,8 @@ class _NativeBackend:
             calib = [{"input": (rng.normal(size=(1, 3, 96, 96)) * 0.6)
                       .astype(np.float32)} for _ in range(3)]
         self._int8 = import_model(
-            quantize_static(model, calib, percentile=self._calib_pct))
+            quantize_static(model, calib, percentile=self._calib_pct,
+                            entropy=self._calib_entropy))
         self.np_dtype = np.dtype(np.float32)  # graph I/O stays f32
 
     def _setup_mesh(self, mesh_spec: str) -> None:
@@ -398,7 +412,8 @@ class _NativeBackend:
                 calib = [{"input": (rng.normal(size=(1, 3, *chw)) * 0.6)
                           .astype(np.float32)} for _ in range(3)]
             self._int8_ranges = calibrate(small, calib,
-                                          percentile=self._calib_pct)
+                                          percentile=self._calib_pct,
+                                          entropy=self._calib_entropy)
         model = fold_batchnorm(family.to_onnx_sized(self.params, hw))
         exe = import_model(quantize_static(model, [],
                                            ranges=self._int8_ranges))

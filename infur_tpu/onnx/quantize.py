@@ -87,8 +87,101 @@ def _qparam(lo: float, hi: float) -> QParam:
     return QParam(scale, zp)
 
 
+def _smooth_dist(d: np.ndarray, eps: float = 1e-4) -> np.ndarray | None:
+    """Move a little mass onto zero bins so KL stays finite (the standard
+    smoothing from the MXNet/TensorRT entropy calibraters)."""
+    d = d.astype(np.float64)
+    zero = d == 0.0
+    n_zero = int(zero.sum())
+    n_nonzero = d.size - n_zero
+    if n_nonzero == 0:
+        return None
+    take = eps * n_zero / n_nonzero
+    if (d[~zero] <= take).any():
+        take = 0.5 * float(d[~zero].min())
+    out = d.copy()
+    out[zero] = eps
+    out[~zero] -= take
+    return out
+
+
+def _kl_after_quant(pool: np.ndarray, edges: np.ndarray, p: np.ndarray,
+                    lo: float, hi: float, nlevels: int) -> float:
+    """KL(p || q) where ``p`` is the pool's empirical distribution over a
+    FIXED set of equal-mass reference bins (``edges``, computed once from
+    the pool) and ``q`` is the distribution — over the SAME bins — of the
+    pool after a saturating affine ``nlevels``-code quantizer with range
+    [lo, hi] (clip, round to code, dequantize).
+
+    Fixing the reference binning is what makes candidates comparable: a
+    per-candidate rebinned histogram has a noise floor that depends on the
+    candidate (few wide bins look artificially clean), which biases the
+    argmin.  Here only ``q`` moves.  A too-wide range under-resolves the
+    bulk (many bins' mass collapses onto one code -> neighbours go empty);
+    over-clipping piles real mass onto the edge codes (bins past the cut
+    go empty while the cut bin over-fills).  The argmin is the entropy
+    calibration of TensorRT / ort's EntropyCalibrater, generalized to
+    two-sided asymmetric ranges."""
+    if hi <= lo:
+        return np.inf
+    scale = (hi - lo) / (nlevels - 1)
+    deq = np.round((np.clip(pool, lo, hi) - lo) / scale) * scale + lo
+    q, _ = np.histogram(deq, bins=edges)
+    p = _smooth_dist(p.astype(np.float64))
+    q = _smooth_dist(q.astype(np.float64))
+    if p is None or q is None:
+        return np.inf
+    p /= p.sum()
+    q /= q.sum()
+    return float(np.sum(p * np.log(p / q)))
+
+
+def _entropy_range(pool: np.ndarray, nlevels: int = 256,
+                   ncand: int = 16, max_clip: float = 0.125,
+                   ) -> tuple[float, float]:
+    """Two-sided KL-optimal clipping range over pooled activation samples:
+    candidate lo/hi cuts clip geometrically-spaced tail-mass fractions
+    (1e-4 .. ``max_clip`` per side — so a cut just below a rare spike is
+    always in the grid); two coordinate sweeps pick the (lo, hi)
+    minimizing ``_kl_after_quant`` against equal-mass reference bins.
+
+    The reference bin count adapts to the pool (~32 samples/bin, at most
+    ``nlevels``/2 bins so a well-placed grid can resolve every bin).  A
+    pool too sparse for at least 64 shape bins keeps exact min/max — the
+    honest fallback, not a noisy guess."""
+    pool = pool[np.isfinite(pool)]
+    if pool.size == 0:
+        return 0.0, 0.0
+    lo0, hi0 = float(pool.min()), float(pool.max())
+    if hi0 <= lo0:
+        return lo0, hi0
+    nbins = int(min(pool.size // 32, nlevels // 2))
+    if nbins < 64:
+        return lo0, hi0  # too sparse for shape-based calibration
+    edges = np.unique(np.quantile(pool, np.linspace(0.0, 1.0, nbins + 1)))
+    if edges.size < 3:
+        return lo0, hi0
+    p, _ = np.histogram(pool, bins=edges)
+    frac = np.concatenate([[0.0], np.geomspace(1e-4, max_clip, ncand - 1)])
+    lcand = np.quantile(pool, frac)
+    rcand = np.quantile(pool, 1.0 - frac)
+    lo, hi = lo0, hi0
+    best = _kl_after_quant(pool, edges, p, lo, hi, nlevels)
+    for _ in range(2):  # coordinate descent: lo sweep, then hi sweep
+        for cand in lcand:
+            d = _kl_after_quant(pool, edges, p, float(cand), hi, nlevels)
+            if d < best:
+                best, lo = d, float(cand)
+        for cand in rcand:
+            d = _kl_after_quant(pool, edges, p, lo, float(cand), nlevels)
+            if d < best:
+                best, hi = d, float(cand)
+    return lo, hi
+
+
 def calibrate(model: ModelProto, feeds_list: list[dict[str, np.ndarray]],
               percentile: float | None = None,
+              entropy: bool = False,
               sample_cap: int = 8192,
               ) -> dict[str, tuple[float, float]]:
     """Activation ranges of every tensor over the calibration feeds.
@@ -103,9 +196,19 @@ def calibrate(model: ModelProto, feeds_list: list[dict[str, np.ndarray]],
     deterministically strided-subsampled to ``sample_cap`` per tensor per
     feed to bound memory; the quantile is computed over the pooled
     samples at the end.
+
+    ``entropy``: KL-divergence-optimal ranges (ort's Entropy calibrater
+    is the reference analog): per tensor, pick the clipping range whose
+    saturating 256-level quantizer loses the least information about the
+    observed distribution (``_kl_after_quant``).  Unlike ``percentile``
+    it needs no hand-picked tail mass — heavy-tailed tensors clip hard,
+    compact ones keep their exact min/max.  Mutually exclusive with
+    ``percentile``.
     """
     from infur_tpu.onnx.oracle import run_graph
 
+    if percentile is not None and entropy:
+        raise ValueError("percentile= and entropy= are mutually exclusive")
     if percentile is not None and not 50.0 < percentile <= 100.0:
         raise ValueError(f"percentile must be in (50, 100], got {percentile}")
     g = model.graph
@@ -120,7 +223,7 @@ def calibrate(model: ModelProto, feeds_list: list[dict[str, np.ndarray]],
         for name, v in vals.items():
             if not np.issubdtype(v.dtype, np.floating):
                 continue
-            if percentile is not None:
+            if percentile is not None or entropy:
                 flat = np.asarray(v, np.float32).ravel()
                 stride = max(1, flat.size // sample_cap)
                 samples.setdefault(name, []).append(flat[::stride][:sample_cap])
@@ -137,6 +240,9 @@ def calibrate(model: ModelProto, feeds_list: list[dict[str, np.ndarray]],
             pool = np.concatenate(chunks)
             lo, hi = np.percentile(pool, [tail, 100.0 - tail])
             ranges[name] = (float(lo), float(hi))
+    elif entropy:
+        for name, chunks in samples.items():
+            ranges[name] = _entropy_range(np.concatenate(chunks))
     return ranges
 
 
@@ -146,6 +252,7 @@ def quantize_static(model: ModelProto,
                     transformer_int: bool = True,
                     ranges: dict[str, tuple[float, float]] | None = None,
                     percentile: float | None = None,
+                    entropy: bool = False,
                     ) -> ModelProto:
     """Produce the QOperator-format int8 model (see module docstring).
 
@@ -165,7 +272,8 @@ def quantize_static(model: ModelProto,
     """
     g = model.graph
     if ranges is None:
-        ranges = calibrate(model, feeds_list, percentile=percentile)
+        ranges = calibrate(model, feeds_list, percentile=percentile,
+                           entropy=entropy)
     inits = {t.name: tensor_to_numpy(t) for t in g.initializer}
 
     out = GraphProto(name=g.name + "_int8", input=list(g.input),

@@ -87,6 +87,101 @@ class TestCalibrate:
         assert err_pct < err_minmax / 50
 
 
+def _passthrough_model_32():
+    """Dense variant of the identity conv: 2048 values per feed.  KL
+    calibration is SHAPE-based — it needs enough samples per histogram
+    bin to see the distribution (the sparse-pool fallback is exact
+    min/max), so its tests feed bigger tensors than the percentile ones."""
+    g = GraphBuilder("ident32")
+    x = g.input("x", np.float32, (1, 2, 32, 32))
+    w = g.init("w", np.eye(2, dtype=np.float32).reshape(2, 2, 1, 1))
+    y = g.node("Conv", [x, w], outputs=["out"])
+    g.output(y, np.float32, (1, 2, 32, 32))
+    return g.model()
+
+
+def _gauss_outlier_feeds(rng, n=4, spike=1000.0):
+    """Gaussian bulk (entropy calibration needs SHAPE to preserve — a
+    uniform bulk survives coarse codes unchanged, so KL would rightly
+    keep the full range there); ONE spiked element per feed."""
+    feeds = []
+    for _ in range(n):
+        x = (rng.normal(size=(1, 2, 32, 32)) * 0.5).astype(np.float32)
+        x[0, 0, 0, 0] = spike
+        feeds.append({"x": x})
+    return feeds
+
+
+class TestEntropy:
+    def test_entropy_clips_outliers(self, rng):
+        """KL-optimal ranges drop the spike: keeping it would smear the
+        gaussian bulk into a handful of coarse codes."""
+        model = _passthrough_model_32()
+        feeds = _gauss_outlier_feeds(rng)
+        minmax = calibrate(model, feeds)
+        ent = calibrate(model, feeds, entropy=True)
+        assert minmax["x"][1] == pytest.approx(1000.0)
+        assert ent["x"][1] < 10.0
+
+    def test_entropy_keeps_compact_range(self, rng):
+        """No outliers -> no catastrophic clipping: the bulk of a plain
+        gaussian stays inside the chosen range."""
+        model = _passthrough_model_32()
+        feeds = [{"x": (rng.normal(size=(1, 2, 32, 32)) * 0.5)
+                  .astype(np.float32)} for _ in range(4)]
+        ent = calibrate(model, feeds, entropy=True)
+        lo, hi = ent["x"]
+        assert hi >= 0.75 and lo <= -0.75  # >= 1.5 sigma on both sides
+
+    def test_entropy_sparse_pool_falls_back_to_minmax(self, rng):
+        """Too few samples for shape-based KL -> exact min/max, not a
+        noisy histogram guess (the 8x8 feeds pool only 512 values)."""
+        model = _passthrough_model()
+        feeds = _outlier_feeds(rng)
+        ent = calibrate(model, feeds, entropy=True)
+        assert ent["x"][1] == pytest.approx(1000.0)
+
+    def test_entropy_bulk_fidelity_improves(self, rng):
+        """The decisive property, like the percentile test: bulk
+        reconstruction error collapses once the spike stops stretching
+        the u8 grid."""
+        model = _passthrough_model_32()
+        feeds = _gauss_outlier_feeds(rng)
+        probe = feeds[0]
+        bulk = probe["x"].ravel()[1:]
+
+        def bulk_err(**kw):
+            q = quantize_static(model, feeds, **kw)
+            out = np.asarray(run_model(q, probe)["out"]).ravel()[1:]
+            return float(np.abs(out - bulk).mean())
+
+        assert bulk_err(entropy=True) < bulk_err() / 50
+
+    def test_entropy_excludes_percentile(self, rng):
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            calibrate(_passthrough_model(), _gauss_outlier_feeds(rng),
+                      percentile=99.9, entropy=True)
+
+    def test_cal_spec_validated(self):
+        with pytest.raises(ModelLoadError, match="minmax|entropy"):
+            ModelStage().control(Load("lraspp:int8?cal=median"))
+        with pytest.raises(ModelLoadError, match="only meaningful"):
+            ModelStage().control(Load("lraspp?cal=entropy"))
+        with pytest.raises(ModelLoadError, match="mutually exclusive"):
+            ModelStage().control(Load("lraspp:int8?cal=entropy&pct=99.9"))
+
+    def test_lraspp_int8_entropy_serves(self, small_clip):
+        """End-to-end: entropy calibration on real decoded frames, then a
+        frame through the quantized executable."""
+        path, _, _ = small_clip
+        st = ModelStage()
+        st.control(Load(f"lraspp:int8?calib={path}&cal=entropy"))
+        cell = Cell()
+        st.advance(Frame(1, np.zeros((48, 64, 3), np.uint8)), cell)
+        out = np.asarray(cell.value.outputs["out"])
+        assert out.shape[1:] == (48, 64) and np.isfinite(out).all()
+
+
 class TestSpecQuery:
     def test_pct_requires_int8(self):
         with pytest.raises(ModelLoadError, match="only meaningful"):
