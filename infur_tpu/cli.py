@@ -227,6 +227,25 @@ def cmd_view(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_window(args: argparse.Namespace) -> int:
+    from infur_tpu.runtime.config import DEFAULT_PATH
+    from infur_tpu.window import run_window
+    cfg = ProcConfig.load(args.config) if args.config else ProcConfig()
+    if args.inputs:
+        cfg.video_input = args.inputs
+    if args.scale is not None:
+        cfg.scale = args.scale
+    if args.model is not None:
+        cfg.model_input = args.model
+    if args.model_bucket is not None:
+        cfg.model_bucket = args.model_bucket or None
+    w, h = (int(v) for v in args.size.split("x"))
+    run_window(config=cfg, width=w, height=h, wire=args.wire,
+               config_path=args.config or DEFAULT_PATH,
+               max_seconds=args.max_seconds)
+    return 0
+
+
 def cmd_eval(args: argparse.Namespace) -> int:
     """Segmentation metrics (mIoU / pixel accuracy) for a model over a
     labeled dataset: one or more ``.npz`` files with ``x`` (N, H, W, 3
@@ -383,6 +402,22 @@ def main(argv: list[str] | None = None) -> int:
     view.add_argument("--wire", default="dense", choices=["dense", "rle"],
                       help="display transport (see play --wire)")
     view.set_defaults(fn=cmd_view)
+
+    win = sub.add_parser("window", help="open the native desktop window "
+                         "(SDL; headless machines can use "
+                         "SDL_VIDEODRIVER=dummy)")
+    win.add_argument("inputs", nargs="*")
+    win.add_argument("--model", default=None)
+    win.add_argument("--scale", type=float, default=None)
+    win.add_argument("--config", default=None)
+    win.add_argument("--size", default="1024x640", help="window WxH")
+    win.add_argument("--model-bucket", type=int, default=32,
+                     help="model-input rounding multiple (0 disables)")
+    win.add_argument("--wire", default="dense", choices=["dense", "rle"],
+                     help="display transport (see play --wire)")
+    win.add_argument("--max-seconds", type=float, default=None,
+                     help="auto-exit bound (headless smoke runs)")
+    win.set_defaults(fn=cmd_window)
 
     ev = sub.add_parser("eval", help="mIoU/pixel-acc over labeled .npz data")
     ev.add_argument("model", help="model spec (family or .onnx)")
