@@ -1,14 +1,21 @@
-"""Hardware drive: 4-stream batched serving aggregate throughput.
+"""Hardware drive: batched multi-stream serving vs single-stream baseline.
 
 Four 1080p RVF streams tick in lockstep through ONE batched lraspp step
 (the realtime family) on the real chip — the scale-out story SURVEY §5.8
-maps to batching.  Reports aggregate frames/s over a few dozen ticks
-(the D2H is each stream's composited RGBA, i.e. the interactive app's
-dense display contract — no wire tricks, this measures the serving
-composite path).
+maps to batching.  Measures, in the SAME relay window so the numbers are
+comparable:
+
+  1. single-stream fps (batch-1 ticks, the interactive serving shape)
+  2. N-stream aggregate fps and per-stream fps
+
+and prints the batching speedup (aggregate / single-stream): the
+data-parallel serving claim as a measurement (VERDICT r3 #5).  The D2H
+is each stream's composited RGBA — the interactive app's dense display
+contract, no wire tricks.
 
 Run: PYTHONPATH=/root/.axon_site:/root/repo timeout 900 python tools/drive_multistream.py
 """
+import json
 import os
 import threading
 
@@ -28,26 +35,40 @@ from infur_tpu.multistream import MultiStreamApp  # noqa: E402
 N, TICKS, WARM = 4, 24, 2
 fixture = bench._fixture_path()
 
-app = MultiStreamApp(N)
-for i in range(N):
-    app.play(i, [fixture])
-app.set_scale(0.5)
-app.load_model("lraspp:bf16")
 
-for _ in range(WARM):  # compile + first fetches
-    out = app.tick()
-    for f in out:
-        np.asarray(f.rgba)
+def measure(n_streams: int, ticks: int) -> tuple[float, int]:
+    app = MultiStreamApp(n_streams)
+    for i in range(n_streams):
+        app.play(i, [fixture])
+    app.set_scale(0.5)
+    app.load_model("lraspp:bf16")
+    for _ in range(WARM):  # compile + first fetches
+        for f in app.tick():
+            np.asarray(f.rgba)
+    t0 = time.perf_counter()
+    n = 0
+    for _ in range(ticks):
+        for f in app.tick():
+            np.asarray(f.rgba)  # materialize: the display contract
+        n += n_streams
+    dt = time.perf_counter() - t0
+    app.close()
+    return n / dt, n
 
-t0 = time.perf_counter()
-n = 0
-for _ in range(TICKS):
-    out = app.tick()
-    for f in out:
-        np.asarray(f.rgba)  # materialize: the display contract
-    n += len(out)
-dt = time.perf_counter() - t0
-print(f"{N} streams x {TICKS} ticks: {n} frames in {dt:.2f} s "
-      f"= {n / dt:.2f} aggregate fps ({n / dt / N:.2f}/stream)")
-app.close()
+
+single_fps, n1 = measure(1, TICKS)
+print(f"1 stream  x {TICKS} ticks: {n1} frames = {single_fps:.2f} fps",
+      flush=True)
+agg_fps, n4 = measure(N, TICKS)
+print(f"{N} streams x {TICKS} ticks: {n4} frames = {agg_fps:.2f} aggregate "
+      f"fps ({agg_fps / N:.2f}/stream)", flush=True)
+print(json.dumps({
+    "metric": ("multistream_aggregate_fps_1080p_lraspp"
+               if (bench.W, bench.H) == (1920, 1080) else
+               f"multistream_aggregate_fps_{bench.W}x{bench.H}_lraspp"),
+    "n_streams": N, "aggregate_fps": round(agg_fps, 2),
+    "per_stream_fps": round(agg_fps / N, 2),
+    "single_stream_fps": round(single_fps, 2),
+    "batching_speedup": round(agg_fps / single_fps, 2),
+}), flush=True)
 os._exit(0)
