@@ -124,11 +124,12 @@ class TestNativeFfpipe:
         from infur_tpu.video.ffpipe import FfpipeDecoder
         t0 = time.perf_counter()
         with pytest.raises(VideoStartError):
-            FfpipeDecoder(["not-a-shim-url"])  # shim exits 1 instantly
-        # well under the 10 s header timeout; 6 s leaves headroom for shim
-        # (python) startup on a loaded machine — observed >3 s under a
-        # full parallel test run
-        assert time.perf_counter() - t0 < 6.0
+            # shim exits 1 instantly; a 60 s explicit header timeout makes
+            # the property load-proof: the open wait must release on the
+            # child's EXIT, not sit out the timeout — even when shim
+            # (python) startup takes seconds on a loaded machine
+            FfpipeDecoder(["not-a-shim-url"], header_timeout_ms=60_000)
+        assert time.perf_counter() - t0 < 30.0
 
     def test_open_error_bad_input(self, ffmpeg_on_path):
         from infur_tpu.video.ffpipe import FfpipeDecoder
