@@ -137,7 +137,7 @@ def _kl_after_quant(pool: np.ndarray, edges: np.ndarray, p: np.ndarray,
 
 
 def _entropy_range(pool: np.ndarray, nlevels: int = 256,
-                   ncand: int = 16, max_clip: float = 0.125,
+                   ncand: int = 16, max_clip: float = 0.02,
                    ) -> tuple[float, float]:
     """Two-sided KL-optimal clipping range over pooled activation samples:
     candidate lo/hi cuts clip geometrically-spaced tail-mass fractions
@@ -201,9 +201,12 @@ def calibrate(model: ModelProto, feeds_list: list[dict[str, np.ndarray]],
     is the reference analog): per tensor, pick the clipping range whose
     saturating 256-level quantizer loses the least information about the
     observed distribution (``_kl_after_quant``).  Unlike ``percentile``
-    it needs no hand-picked tail mass — heavy-tailed tensors clip hard,
-    compact ones keep their exact min/max.  Mutually exclusive with
-    ``percentile``.
+    it needs no hand-picked tail mass — heavy-tailed tensors clip hard.
+    Like every entropy calibrater it trades tail accuracy for bulk
+    resolution, so on compact tail-FREE activations exact min/max scores
+    better fidelity (measured: tools/calib_fidelity.py) — which is why
+    min/max stays the default and entropy is an opt-in for real-weight
+    activation tails.  Mutually exclusive with ``percentile``.
     """
     from infur_tpu.onnx.oracle import run_graph
 
