@@ -226,7 +226,11 @@ def run_window(config=None, width: int = 1024, height: int = 640,
         for cmd in config.commands():
             handle.send(cmd)
     state = ViewerState(handle, config=config)
-    viewer = WindowViewer(state, width, height)
+    try:
+        viewer = WindowViewer(state, width, height)
+    except WindowUnavailable:
+        handle.stop()  # no window -> shut the proc loop down, don't leak it
+        raise
     pump = threading.Thread(target=state.pump, name="window-pump",
                             daemon=True)
     pump.start()
