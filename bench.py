@@ -862,9 +862,23 @@ def main() -> int:
             bf16_mask, _ = unpack(warm_host)
             crc = zlib.crc32(np.ascontiguousarray(bf16_mask).tobytes())
             _extra["mask_crc32"] = f"{crc:08x}"
+            # the pin: INFUR_BENCH_EXPECT_CRC env, else the repo-persisted
+            # BENCH_EXPECT.json keyed by (metric, payload, device kind) —
+            # so the driver's no-env runs still re-prove determinism
+            # against the recorded hardware value
             expect = os.environ.get("INFUR_BENCH_EXPECT_CRC")
+            crc_key = "|".join([_metric_name(), PACK,
+                                jax.devices()[0].device_kind])
+            if not expect:
+                try:
+                    with open(os.path.join(os.path.dirname(
+                            os.path.abspath(__file__)),
+                            "BENCH_EXPECT.json")) as f:
+                        expect = json.load(f).get(crc_key)
+                except Exception:
+                    expect = None
             if expect:
-                _extra["mask_crc_match"] = (expect.lower()
+                _extra["mask_crc_match"] = (str(expect).lower()
                                             == _extra["mask_crc32"])
 
             def _f32_mask(params, yuv):
