@@ -105,6 +105,18 @@ class TestKeys:
         assert kinds == [Seek, ColorCmd, Stop]
         assert state.config.softmax is True
 
+    def test_resize_rebuilds_viewport(self, win):
+        viewer, state, _ = win
+        with state.lock:
+            state.frame_arr = np.full((8, 8, 4), 255, np.uint8)
+            state.seq = 1
+        assert viewer.render()
+        ev = pygame.event.Event(pygame.VIDEORESIZE, {"w": 500, "h": 400})
+        viewer.handle_event(ev)
+        assert viewer.screen.get_size() == (500, 400)
+        assert viewer.render()  # re-blits at the new geometry
+        assert viewer.pixels().shape[:2] == (400, 500)
+
     def test_quit_keys_and_window_close(self, win):
         viewer, state, _ = win
         viewer.handle_event(_key(pygame.K_q))
