@@ -231,3 +231,23 @@ class TestSpecQuery:
         st.advance(Frame(1, np.zeros((32, 32, 3), np.uint8)), cell)
         assert seen["pct"] == 99.9
         assert np.isfinite(np.asarray(cell.value.primary)).all()
+
+    def test_entropy_flows_into_sized_family_ranges(self, monkeypatch):
+        """segformer:int8 (lazy size path) must calibrate with the
+        entropy estimator when cal=entropy is given."""
+        from infur_tpu.onnx import quantize as qz
+        seen = {}
+        real = calibrate
+
+        def spy(model, feeds, percentile=None, entropy=False, **kw):
+            seen["entropy"] = entropy
+            return real(model, feeds, percentile=percentile,
+                        entropy=entropy, **kw)
+
+        monkeypatch.setattr(qz, "calibrate", spy)
+        st = ModelStage()
+        st.control(Load("segformer:b0:int8?cal=entropy"))
+        cell = Cell()
+        st.advance(Frame(1, np.zeros((32, 32, 3), np.uint8)), cell)
+        assert seen["entropy"] is True
+        assert np.isfinite(np.asarray(cell.value.primary)).all()
