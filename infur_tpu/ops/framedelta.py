@@ -111,3 +111,80 @@ def decode_delta_np(base: np.ndarray, idx: np.ndarray,
         cur[idx[j].astype(np.int64)] = data[j]
         out.append(cur.reshape(-1).copy())
     return np.stack(out)
+
+
+def encode_keyed(batch: np.ndarray, key: np.ndarray, cap_base: int,
+                 cap: int, chunk: int = 64, encoder=encode_delta):
+    """Keyed-delta coding: the batch's FIRST frame is itself dirty-chunk
+    coded against a long-lived ``key`` frame the device already holds
+    (uploaded once, reused as a plain input — like params; NOT
+    cross-execution output chaining).  Video codecs call this a
+    long-term reference frame; it removes the dense base frame that
+    dominates :func:`encode_delta`'s wire (measured 81% of the batch
+    bytes at the bench geometry).
+
+    Returns ``(bidx, bdata, idx, data)`` — ``bidx (cap_base,)`` u16 /
+    ``bdata (cap_base, chunk)`` u8 code frame 0 against ``key``; idx/data
+    as in :func:`encode_delta` — or ``None`` when either cap overflows
+    (caller ships dense and should promote a fresher key).  ``encoder``
+    lets callers swap in the native twin (``hostops.delta_encode``)."""
+    b, nbytes = batch.shape
+    if key.shape != (nbytes,):
+        return None
+    enc0 = encoder(np.stack([key, batch[0]]), cap_base, chunk)
+    if enc0 is None:
+        return None
+    _, bidx, bdata = enc0
+    enc = encoder(batch, cap, chunk)
+    if enc is None:
+        return None
+    _, idx, data = enc
+    return bidx[0], bdata[0], idx, data
+
+
+def pack_keyed_wire(bidx: np.ndarray, bdata: np.ndarray, idx: np.ndarray,
+                    data: np.ndarray) -> np.ndarray:
+    """One flat u8 upload buffer for :func:`encode_keyed`'s output.
+    Layout: ``[bidx_lo | bidx_hi | bdata | idx_lo | idx_hi | data]``;
+    invert with :func:`decode_keyed_wire` given the static geometry."""
+    return np.concatenate([
+        (bidx & 255).astype(np.uint8),
+        (bidx >> 8).astype(np.uint8),
+        bdata.ravel(),
+        (idx & 255).astype(np.uint8).ravel(),
+        (idx >> 8).astype(np.uint8).ravel(),
+        data.ravel(),
+    ])
+
+
+def decode_keyed_wire(flat, key, n_upd: int, cap_base: int, cap: int,
+                      chunk: int):
+    """Device-side: :func:`pack_keyed_wire` buffer + resident key frame
+    -> (B, nbytes) u8 frames (B = n_upd + 1)."""
+    import jax.numpy as jnp
+
+    flat, key = jnp.asarray(flat), jnp.asarray(key)
+    off = 0
+    blo = flat[off:off + cap_base].astype(jnp.uint16)
+    off += cap_base
+    bhi = flat[off:off + cap_base].astype(jnp.uint16)
+    off += cap_base
+    bidx = (blo | (bhi << 8)).astype(jnp.int32)
+    bdata = flat[off:off + cap_base * chunk].reshape(cap_base, chunk)
+    off += cap_base * chunk
+    base = key.reshape(-1, chunk).at[bidx].set(bdata).reshape(-1)
+    lo = flat[off:off + n_upd * cap].astype(jnp.uint16)
+    off += n_upd * cap
+    hi = flat[off:off + n_upd * cap].astype(jnp.uint16)
+    off += n_upd * cap
+    idx = (lo | (hi << 8)).reshape(n_upd, cap)
+    data = flat[off:].reshape(n_upd, cap, chunk)
+    return decode_delta(base, idx, data)
+
+
+def decode_keyed_np(key: np.ndarray, bidx: np.ndarray, bdata: np.ndarray,
+                    idx: np.ndarray, data: np.ndarray) -> np.ndarray:
+    """NumPy twin of :func:`decode_keyed_wire` (tests / host fallback)."""
+    base = key.reshape(-1, bdata.shape[1]).copy()
+    base[bidx.astype(np.int64)] = bdata
+    return decode_delta_np(base.reshape(-1), idx, data)

@@ -21,7 +21,10 @@ import numpy as np  # noqa: E402
 import bench  # noqa: E402  (repo root on path)
 import jax  # noqa: E402
 
-from infur_tpu.ops.framedelta import decode_delta, encode_delta  # noqa: E402
+from infur_tpu.ops.framedelta import (  # noqa: E402
+    decode_delta, decode_keyed_wire, encode_delta, encode_keyed,
+    pack_keyed_wire,
+)
 from infur_tpu.ops.preprocess import scale_to_hw  # noqa: E402
 from infur_tpu.ops.yuv import scale_i420  # noqa: E402
 from infur_tpu.video.rvf import RvfReader  # noqa: E402
@@ -50,9 +53,31 @@ print(f"wire {wire} B/batch = {wire / B / 1e3:.1f} KB/frame "
 rebuilt = np.asarray(jax.jit(decode_delta)(
     *(jax.device_put(a) for a in enc)))
 if (rebuilt == batch).all():
-    print("TPU rebuild: byte-identical OK")
+    print("TPU rebuild (delta): byte-identical OK")
 else:
     bad = int((rebuilt != batch).sum())
-    print(f"TPU rebuild: MISMATCH on {bad} bytes")
+    print(f"TPU rebuild (delta): MISMATCH on {bad} bytes")
+    os._exit(1)
+
+# keyed ingest: frame 0 itself coded against a device-resident key frame
+# (the bench's INFUR_BENCH_INGEST=keyed default).  Key = a frame a few
+# steps earlier in the same clip, the realistic steady-state case.
+key = batch[0].copy()
+kenc = encode_keyed(batch, key, bench.KEY_CAP, bench.DELTA_CAP,
+                    bench.DELTA_CHUNK)
+assert kenc is not None, "fixture exceeded KEY_CAP vs same-clip key"
+kwire = pack_keyed_wire(*kenc)
+print(f"keyed wire {kwire.nbytes} B/batch = "
+      f"{kwire.nbytes / B / 1e3:.1f} KB/frame "
+      f"(delta-era {wire / B / 1e3:.1f})")
+krebuilt = np.asarray(jax.jit(
+    lambda w, k: decode_keyed_wire(w, k, B - 1, bench.KEY_CAP,
+                                   bench.DELTA_CAP, bench.DELTA_CHUNK)
+)(jax.device_put(kwire), jax.device_put(key)))
+if (krebuilt == batch).all():
+    print("TPU rebuild (keyed): byte-identical OK")
+else:
+    bad = int((krebuilt != batch).sum())
+    print(f"TPU rebuild (keyed): MISMATCH on {bad} bytes")
     os._exit(1)
 os._exit(0)
