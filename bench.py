@@ -453,18 +453,32 @@ def main() -> int:
     # running instead of emitting a premature zero
     _progress = [0]
 
+    # warmup (compile + first fetches) is ONE silent step that can
+    # legitimately exceed a whole watchdog window on a cold compilation
+    # cache (measured: a healthy-relay run lost to a premature zero at
+    # 334 s, watchdog 300 s) — so until warmup completes the watchdog
+    # gets its own larger budget; the wall-clock deadline remains the
+    # hard backstop for a truly wedged warmup.
+    warmup_wd = float(os.environ.get("INFUR_BENCH_WARMUP_WATCHDOG_S",
+                                     str(max(WATCHDOG_S, 600.0))))
+
     def _watchdog():
         seen = None
+        warm_waited = 0.0
         while True:
             time.sleep(WATCHDOG_S)
+            if _progress[0] == -1:
+                return  # clean finish
             now = (len(rounds_done), len(lat_ms), len(_extra))
-            if now == seen and _progress[0] != -1:
+            if _progress[0] == 0 and now == (0, 0, 0):
+                warm_waited += WATCHDOG_S
+                if warm_waited < warmup_wd:
+                    continue  # still compiling/warming: deadline backstops
+            if now == seen:
                 print("bench: watchdog fired, emitting best-so-far",
                       file=sys.stderr, flush=True)
                 _emit_once()
                 os._exit(0)
-            if _progress[0] == -1:
-                return  # clean finish
             seen = now
 
     # preflight budget: relay wedges cycle for hours some days
@@ -858,6 +872,7 @@ def main() -> int:
     except Exception:
         pass
     _write_partial()
+    _progress[0] = 1  # warmup done: the watchdog reverts to its normal window
 
     # measured: one batch in flight on the device; fetch + host composite
     # run on ONE finisher worker, overlapping the next batch's decode/

@@ -110,11 +110,29 @@ def test_deadline_emits_without_any_signal(tmp_path):
 def test_watchdog_emits_on_silent_stall(tmp_path):
     """No progress for a full window -> best-so-far line, exit 0."""
     proc, _ = _launch(tmp_path, INFUR_BENCH_TEST_STALL="warmup",
-                      INFUR_BENCH_WATCHDOG_S="2")
+                      INFUR_BENCH_WATCHDOG_S="2",
+                      INFUR_BENCH_WARMUP_WATCHDOG_S="2")
     stdout, _ = proc.communicate(timeout=180)
     out = _json_line(stdout)
     assert out["value"] == 0.0
     assert proc.returncode == 0
+
+
+def test_watchdog_defers_during_warmup(tmp_path):
+    """A slow warmup (cold compile) must NOT trip the normal watchdog
+    window: with the warmup budget left at its large default, the
+    deadline — not the watchdog — ends a warmup stall.  Guards the
+    premature-zero mode measured on hardware (healthy relay, cold
+    compilation cache, zero at watchdog_s + preflight)."""
+    proc, err = _launch(tmp_path, INFUR_BENCH_TEST_STALL="warmup",
+                        INFUR_BENCH_WATCHDOG_S="1",
+                        INFUR_BENCH_DEADLINE_S="6")
+    stdout, _ = proc.communicate(timeout=180)
+    out = _json_line(stdout)
+    assert out["value"] == 0.0
+    assert proc.returncode == 0
+    # the watchdog stayed silent; the deadline did the emitting
+    assert "watchdog fired" not in err.read_text(errors="replace")
 
 
 def test_preflight_bounded_by_deadline(tmp_path):

@@ -36,7 +36,12 @@ N, TICKS, WARM = 4, 24, 2
 fixture = bench._fixture_path()
 
 
-def measure(n_streams: int, ticks: int) -> tuple[float, int]:
+def measure(n_streams: int, ticks: int, fetch: bool) -> tuple[float, int]:
+    """fetch=True materializes every composited RGBA to host (the dense
+    display contract: ~8.3 MB/frame at 1080p over the relay link);
+    fetch=False blocks on the device value only, isolating the
+    decode+H2D+compute rate the batch actually achieves on-chip."""
+    import jax
     app = MultiStreamApp(n_streams)
     for i in range(n_streams):
         app.play(i, [fixture])
@@ -49,26 +54,37 @@ def measure(n_streams: int, ticks: int) -> tuple[float, int]:
     n = 0
     for _ in range(ticks):
         for f in app.tick():
-            np.asarray(f.rgba)  # materialize: the display contract
+            if fetch:
+                np.asarray(f.rgba)  # materialize: the display contract
+            else:
+                jax.block_until_ready(f.rgba)
         n += n_streams
     dt = time.perf_counter() - t0
     app.close()
     return n / dt, n
 
 
-single_fps, n1 = measure(1, TICKS)
-print(f"1 stream  x {TICKS} ticks: {n1} frames = {single_fps:.2f} fps",
-      flush=True)
-agg_fps, n4 = measure(N, TICKS)
-print(f"{N} streams x {TICKS} ticks: {n4} frames = {agg_fps:.2f} aggregate "
-      f"fps ({agg_fps / N:.2f}/stream)", flush=True)
+rows = {}
+for fetch in (True, False):
+    lane = "dense_d2h" if fetch else "device_rate"
+    single_fps, n1 = measure(1, TICKS, fetch)
+    print(f"[{lane}] 1 stream  x {TICKS} ticks: {n1} frames = "
+          f"{single_fps:.2f} fps", flush=True)
+    agg_fps, n4 = measure(N, TICKS, fetch)
+    print(f"[{lane}] {N} streams x {TICKS} ticks: {n4} frames = "
+          f"{agg_fps:.2f} aggregate fps ({agg_fps / N:.2f}/stream)",
+          flush=True)
+    rows[lane] = {
+        "aggregate_fps": round(agg_fps, 2),
+        "per_stream_fps": round(agg_fps / N, 2),
+        "single_stream_fps": round(single_fps, 2),
+        "batching_speedup": round(agg_fps / single_fps, 2),
+    }
 print(json.dumps({
     "metric": ("multistream_aggregate_fps_1080p_lraspp"
                if (bench.W, bench.H) == (1920, 1080) else
                f"multistream_aggregate_fps_{bench.W}x{bench.H}_lraspp"),
-    "n_streams": N, "aggregate_fps": round(agg_fps, 2),
-    "per_stream_fps": round(agg_fps / N, 2),
-    "single_stream_fps": round(single_fps, 2),
-    "batching_speedup": round(agg_fps / single_fps, 2),
+    "n_streams": N, **rows["dense_d2h"], **{
+        f"{k}_device": v for k, v in rows["device_rate"].items()},
 }), flush=True)
 os._exit(0)
