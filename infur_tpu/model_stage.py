@@ -213,8 +213,10 @@ def _metadata_overrides(meta: dict[str, str]) -> dict[str, str]:
 
 class _OnnxBackend:
     def __init__(self, spec: str, overrides: dict[str, str] | None = None):
-        from infur_tpu.onnx import import_model
-        self.imported = import_model(spec)
+        from infur_tpu.onnx.proto import load_model
+        # QOperator-form files (the zoo int8 artifact's shape) get the
+        # NHWC fast path; everything else the generic importer
+        self.imported = _import_quantized(load_model(spec))
         # precedence: explicit spec-query > model metadata > heuristic.
         # A query-level norm= replaces metadata's whole value mapping
         # (mean/std included), not just the norm key.
@@ -240,9 +242,16 @@ class _OnnxBackend:
         self.output_names = tuple(self.imported.output_names)
 
     def preproc(self, out_hw: tuple[int, int]) -> PreProc:
-        return _apply_overrides(
+        import dataclasses
+        pp = _apply_overrides(
             infer_sig_preproc(self.dims, self.np_dtype, out_hw),
             self.overrides)
+        if getattr(self.imported, "input_layout", "NCHW") == "NHWC" \
+                and pp.layout == "NCHW":
+            # the NHWC executor takes channels-last feeds directly; the
+            # signature's NCHW contract is satisfied inside the executable
+            pp = dataclasses.replace(pp, layout="NHWC")
+        return pp
 
     def __call__(self, x: jax.Array) -> dict[str, jax.Array]:
         return self.imported({self.input_name: x})
@@ -322,9 +331,17 @@ class _NativeBackend:
                                  "exclusive range estimators")
         self._calib_pct = pct
         self._calib_entropy = cal == "entropy"
+        self._int8_mesh = None
         if int8:
-            if self.compute_dtype != "float32" or mesh_spec:
-                raise ModelLoadError("int8 excludes bf16/mesh= opts")
+            if self.compute_dtype != "float32":
+                raise ModelLoadError("int8 excludes the bf16 opt")
+            if mesh_spec:
+                # quantized graphs serve data-parallel (batch-sharded
+                # forward; the baked scales/weights replicate): mesh=Dx1.
+                # Tensor/spatial sharding of the integer graph would move
+                # requant boundaries — not offered.
+                self._setup_int8_mesh(mesh_spec)
+                mesh_spec = None
             if family.to_onnx is not None:
                 self._quantize_int8(family, calib_src)
             else:
@@ -345,7 +362,6 @@ class _NativeBackend:
         spec gives one (real activation ranges — VERDICT r2: synthetic
         noise says nothing about real frames), else synthetic noise.
         ``pct=`` switches the range statistic to two-sided percentiles."""
-        from infur_tpu.onnx import import_model
         from infur_tpu.onnx.passes import fold_batchnorm
         from infur_tpu.onnx.quantize import quantize_static
         model = fold_batchnorm(family.to_onnx(self.params))
@@ -355,10 +371,31 @@ class _NativeBackend:
             rng = np.random.default_rng(0)
             calib = [{"input": (rng.normal(size=(1, 3, 96, 96)) * 0.6)
                       .astype(np.float32)} for _ in range(3)]
-        self._int8 = import_model(
+        self._int8 = _import_quantized(
             quantize_static(model, calib, percentile=self._calib_pct,
                             entropy=self._calib_entropy))
         self.np_dtype = np.dtype(np.float32)  # graph I/O stays f32
+
+    def _setup_int8_mesh(self, mesh_spec: str) -> None:
+        """``int8`` + ``mesh=Dx1``: batch-data-parallel quantized serving.
+        The executable's baked weights/scales replicate; the batch input
+        shards over a ``data`` axis of D devices and GSPMD partitions the
+        integer forward — per-example results are sharding-invariant
+        (every op is per-example)."""
+        from infur_tpu.parallel.mesh import make_mesh
+        try:
+            d, s = (int(v) for v in mesh_spec.split("x"))
+            if d < 1 or s != 1:
+                raise ValueError
+        except ValueError:
+            raise ModelLoadError(
+                "int8 serves data-parallel only: mesh=Dx1 "
+                f"(got mesh={mesh_spec!r})")
+        if d > len(jax.devices()):
+            raise ModelLoadError(
+                f"mesh={mesh_spec} needs {d} devices, "
+                f"have {len(jax.devices())}")
+        self._int8_mesh = make_mesh(d, model_axis=1, spatial_axis=1)
 
     def _setup_mesh(self, mesh_spec: str) -> None:
         """``mesh=MxS``: shard this model over an (M tensor) x (S spatial)
@@ -396,7 +433,6 @@ class _NativeBackend:
         served resolution."""
         if hw in self._int8_cache:
             return self._int8_cache[hw]
-        from infur_tpu.onnx import import_model
         from infur_tpu.onnx.passes import fold_batchnorm
         from infur_tpu.onnx.quantize import calibrate, quantize_static
         family = self._int8_sized
@@ -415,26 +451,53 @@ class _NativeBackend:
                                           percentile=self._calib_pct,
                                           entropy=self._calib_entropy)
         model = fold_batchnorm(family.to_onnx_sized(self.params, hw))
-        exe = import_model(quantize_static(model, [],
-                                           ranges=self._int8_ranges))
+        exe = _import_quantized(quantize_static(model, [],
+                                                ranges=self._int8_ranges))
         self._int8_cache[hw] = exe
         return exe
 
     def preproc(self, out_hw: tuple[int, int]) -> PreProc:
-        layout = "NCHW" if (self._int8 is not None
-                            or self._int8_sized is not None) else "NHWC"
+        if self._int8 is not None:
+            # the NHWC fast path (onnx/qexec.py) takes channels-last feeds
+            # directly — the fused Pallas ingest then serves int8 too
+            layout = getattr(self._int8, "input_layout", "NCHW")
+        elif self._int8_sized is not None:
+            layout = "NCHW"  # lazy sized exports (transformers) stay NCHW
+        else:
+            layout = "NHWC"
         return _apply_overrides(
             PreProc.imagenet(out_hw, layout=layout, channel_order="rgb",
                              compute_dtype=self.compute_dtype),
             self.overrides)
 
+    def _run_int8(self, exe, x: jax.Array) -> dict[str, jax.Array]:
+        """Run a quantized executable, batch-sharded over the ``data``
+        axis when ``mesh=Dx1`` was requested (baked weights replicate)."""
+        if self._int8_mesh is None:
+            return exe({exe.input_info[0].name: x})
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        d = self._int8_mesh.shape["data"]
+        b = int(x.shape[0])
+        pad = (-b) % d
+        if pad:
+            import warnings
+            warnings.warn(
+                f"int8 mesh= serving: batch {b} not divisible by data={d};"
+                f" padding {pad} repeated frames and cropping the outputs",
+                stacklevel=3)
+            x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+        x = jax.device_put(x, NamedSharding(self._int8_mesh, P("data")))
+        out = exe({exe.input_info[0].name: x})
+        if pad:
+            out = {k: v[:b] for k, v in out.items()}
+        return out
+
     def __call__(self, x: jax.Array) -> dict[str, jax.Array]:
         if self._int8_sized is not None:
             exe = self._int8_for_shape((int(x.shape[2]), int(x.shape[3])))
-            return exe({exe.input_info[0].name: x})
+            return self._run_int8(exe, x)
         if self._int8 is not None:
-            name = self._int8.input_info[0].name
-            return self._int8({name: x})
+            return self._run_int8(self._int8, x)
         crop_h = 0
         if self._x_sharding is not None:
             s = self.mesh.shape["spatial"]
@@ -457,6 +520,24 @@ class _NativeBackend:
         if crop_h:
             out = {k: v[:, :, :crop_h, :] for k, v in out.items()}  # NCHW
         return out
+
+
+def _import_quantized(model):
+    """Quantized ModelProto -> executable: the NHWC channels-last fast
+    path (onnx/qexec.py — int8 is the reference's production path,
+    infur-test-gen/build.rs:88-93, so it must be the FAST path here) with
+    the generic importer as the always-works fallback.
+    ``INFUR_INT8_NHWC=0`` forces the fallback (A/B escape hatch)."""
+    import os
+
+    from infur_tpu.onnx import import_model
+    if os.environ.get("INFUR_INT8_NHWC", "1") != "0":
+        from infur_tpu.onnx.qexec import QExecUnsupported, compile_qexec
+        try:
+            return compile_qexec(model, input_layout="NHWC")
+        except QExecUnsupported:
+            pass
+    return import_model(model)
 
 
 def _calib_frames(src: str, n: int = 4,

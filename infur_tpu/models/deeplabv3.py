@@ -99,8 +99,11 @@ def deeplabv3_to_onnx(params: dict[str, Any], opset: int = 13):
     hw4 = g.node("Slice", [f4_shape, g.const(np.asarray([2], np.int64)),
                            g.const(np.asarray([4], np.int64)),
                            g.const(np.asarray([0], np.int64))])
-    nd = g.const(np.asarray([1, ASPP_DIM], np.int64), g.fresh("pool_nd"))
-    pool_sizes = g.node("Concat", [nd, hw4], axis=0)
+    nb4 = g.node("Slice", [f4_shape, g.const(np.asarray([0], np.int64)),
+                           g.const(np.asarray([1], np.int64)),
+                           g.const(np.asarray([0], np.int64))])
+    nd = g.const(np.asarray([ASPP_DIM], np.int64), g.fresh("pool_nd"))
+    pool_sizes = g.node("Concat", [nb4, nd, hw4], axis=0)
     branches.append(g.node("Resize", [pool, "", "", pool_sizes],
                            mode="linear",
                            coordinate_transformation_mode="half_pixel"))

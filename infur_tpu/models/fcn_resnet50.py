@@ -292,8 +292,13 @@ def onnx_input_size_resize(g, x, num_classes):
     hw = g.node("Slice", [in_shape, g.const(np.asarray([2], np.int64)),
                           g.const(np.asarray([4], np.int64)),
                           g.const(np.asarray([0], np.int64))])
-    nk = g.const(np.asarray([1, num_classes], np.int64), g.fresh("resize_nk"))
-    sizes = g.node("Concat", [nk, hw], axis=0)
+    # batch from Shape too (not a baked 1): the graph stays
+    # batch-polymorphic for batched data-parallel serving
+    nb = g.node("Slice", [in_shape, g.const(np.asarray([0], np.int64)),
+                          g.const(np.asarray([1], np.int64)),
+                          g.const(np.asarray([0], np.int64))])
+    nk = g.const(np.asarray([num_classes], np.int64), g.fresh("resize_nk"))
+    sizes = g.node("Concat", [nb, nk, hw], axis=0)
 
     def up(t):
         return g.node("Resize", [t, "", "", sizes], mode="linear",

@@ -234,12 +234,17 @@ def lraspp_to_onnx(params: dict[str, Any], opset: int = 14):
         return g.node("Relu" if kind == "RE" else "HardSwish", [x])
 
     def hw_sizes_of(src, lead: np.ndarray) -> str:
-        """Concat(lead, Shape(src)[2:4]) for Resize ``sizes``."""
+        """Concat(Shape(src)[0:1], channels, Shape(src)[2:4]) for Resize
+        ``sizes`` — batch from Shape so the graph serves any batch."""
         shp = g.node("Shape", [src])
+        nb = g.node("Slice", [shp, g.const(np.asarray([0], np.int64)),
+                              g.const(np.asarray([1], np.int64)),
+                              g.const(np.asarray([0], np.int64))])
         hw = g.node("Slice", [shp, g.const(np.asarray([2], np.int64)),
                               g.const(np.asarray([4], np.int64)),
                               g.const(np.asarray([0], np.int64))])
-        return g.node("Concat", [g.const(lead.astype(np.int64)), hw], axis=0)
+        return g.node("Concat",
+                      [nb, g.const(lead.astype(np.int64)[1:]), hw], axis=0)
 
     y = act(bn(conv(x, params["stem_conv"], stride=2), params["stem_bn"]), "HS")
     low = None

@@ -105,6 +105,15 @@ def fixed_round_jnp(acc, q: np.ndarray, shift: np.ndarray):
     :func:`decompose_multiplier` (broadcastable against ``acc``).
 
     Works on any backend; on TPU everything stays in 32-bit vector ops.
+    ``shift`` is a host constant, so when every value is >= 33 (the
+    common case — real conv requant multipliers sit around 33..45) the
+    low product word drops out statically: the rounding bit lands in the
+    high word (``2**(shift-1) = 2**(shift-33) * 2**32``) and
+    ``floor(floor(x/2**32)/2**(shift-32)) == floor(x/2**shift)`` (nested
+    floors), so the result is ``(hi + 2**(shift-33)) >> (shift-32)`` —
+    about half the vector ops of the general dual-branch path.  Same
+    integers, just fewer of them (pinned vs the NumPy twin in
+    tests/test_requant.py).
     """
     import jax.numpy as jnp
 
@@ -114,6 +123,7 @@ def fixed_round_jnp(acc, q: np.ndarray, shift: np.ndarray):
     # magnitude in uint32 two's complement: 0 - 0x80000000 == 0x80000000 == 2**31
     mag = jnp.where(neg, jnp.uint32(0) - a_u, a_u)
 
+    sh_np = np.asarray(shift, np.int64)
     q_u = jnp.asarray(np.asarray(q, np.uint32))
     shift = jnp.asarray(np.asarray(shift, np.int32))
     b0 = q_u & jnp.uint32(0xFFFF)
@@ -127,6 +137,14 @@ def fixed_round_jnp(acc, q: np.ndarray, shift: np.ndarray):
     carry = ((lo_lo >> 16) + (mid1 & jnp.uint32(0xFFFF))
              + (mid2 & jnp.uint32(0xFFFF))) >> 16
     hi = a1 * b1 + (mid1 >> 16) + (mid2 >> 16) + carry   # < 2**31
+
+    if np.all(sh_np >= 33):
+        r_hi = jnp.asarray(
+            (np.int64(1) << (sh_np - 33)).astype(np.uint32))
+        res = (hi + r_hi) >> (shift - 32).astype(jnp.uint32)
+        res = jnp.minimum(res, jnp.uint32(_MAG_SAT)).astype(jnp.int32)
+        return jnp.where(neg, -res, res)
+
     lo = lo_lo + ((mid1 + mid2) << 16)                   # mod 2**32
 
     # full = hi * 2**32 + lo  (< 2**62);  result = (full + 2**(shift-1)) >> shift

@@ -417,7 +417,10 @@ def test_native_int8_spec():
     x = np.random.default_rng(9).normal(size=(1, 3, 32, 48)) \
         .astype(np.float32)
     name = backend._int8.input_info[0].name
-    got = np.asarray(backend._int8({name: x})["out"])
+    feed = x
+    if getattr(backend._int8, "input_layout", "NCHW") == "NHWC":
+        feed = np.ascontiguousarray(x.transpose(0, 2, 3, 1))
+    got = np.asarray(backend._int8({name: feed})["out"])
     want = run_model(make_model(backend._int8.graph), {name: x})["out"]
     np.testing.assert_array_equal(got, want)  # executors bit-exact
     app.close()
@@ -429,5 +432,5 @@ def test_int8_excludes_other_compute_opts():
         ModelStage().control(Load("lraspp:int8:bf16"))
     with pytest.raises(ModelLoadError):  # int8 is integer compute
         ModelStage().control(Load("segformer:int8:bf16"))
-    with pytest.raises(ModelLoadError):  # and excludes sharded serving
+    with pytest.raises(ModelLoadError):  # int8 shards data-parallel ONLY
         ModelStage().control(Load("segformer:int8:mesh=2x2"))

@@ -93,3 +93,28 @@ def test_jnp_matches_ref_under_jit():
     fn = jax.jit(lambda a: requant_jnp(a, q, shift, 128, np.uint8))
     np.testing.assert_array_equal(np.asarray(fn(acc)),
                                   requant_ref(acc, q, shift, 128, np.uint8))
+
+
+def test_jnp_shift_specialization_boundary():
+    """The static >=33 fast path (low product word dropped) vs the general
+    dual-branch path: pin both against the NumPy reference exactly at the
+    specialization boundary and on a mixed-shift channel vector."""
+    rng = np.random.default_rng(7)
+    accs = np.concatenate([EDGE_ACCS,
+                           rng.integers(I32.min, I32.max, 2000, np.int64)])
+    for shift_target in (32, 33, 34, 62):
+        m = 0.9999 * 2.0 ** (31 - shift_target) / (1 << 30) * (1 << 30)
+        q, shift = decompose_multiplier(m)
+        assert int(shift) in (shift_target, shift_target - 1)
+        ref = requant_ref(accs, q, shift, 7, np.int8)
+        dev = np.asarray(requant_jnp(accs.astype(np.int32), q, shift,
+                                     7, np.int8))
+        np.testing.assert_array_equal(dev, ref)
+    # mixed 32/33 per-channel: must take the general path, still exact
+    m = np.asarray([2.0 ** -1.01, 2.0 ** -2.01])
+    q, shift = decompose_multiplier(m)
+    assert set(shift.tolist()) == {32, 33}
+    acc = rng.integers(I32.min, I32.max, (64, 2), np.int64)
+    ref = requant_ref(acc, q, shift, 0, np.int8)
+    dev = np.asarray(requant_jnp(acc.astype(np.int32), q, shift, 0, np.int8))
+    np.testing.assert_array_equal(dev, ref)

@@ -1,8 +1,12 @@
-"""Per-chip device-compute microbenchmark: imported int8 FCN vs native bf16.
+"""Per-chip device-compute microbenchmark: int8 FCN (imported NCHW vs the
+NHWC channels-last executor) vs native bf16.
 
-Answers the STATUS question "does the int8 imported model beat bf16 native
-per-chip?" now that QLinearConv lowers to an MXU-native int8 conv
-(importer.py `_jqlinear_conv` fast path) instead of an int32 one.
+Answers the STATUS question "does the int8 model beat bf16 native
+per-chip?".  Round 4's verdict: the imported NCHW QLinear graph was 3x
+SLOWER than bf16 (13.6 vs 4.5 ms/frame) — `int8_nhwc` is the round-5
+serving path (onnx/qexec.py: channels-last s8, fused requant epilogue,
+constant border corrections) whose target is <= bf16's ms/frame with
+bit-exact oracle parity.
 
 Method: the relay transport adds a fixed ~0.6 s per jitted execution
 (BENCH_NOTES.md), which would drown single-digit-ms forwards.  So each
@@ -54,8 +58,11 @@ def main() -> int:
     from infur_tpu.onnx import import_model
     from infur_tpu import testgen
 
+    from infur_tpu.onnx.qexec import compile_qexec
+
     paths = testgen.generate(FIXTURES, verbose=True)
     model = import_model(paths["fcn_resnet50_int8_onnx"])
+    qexec = compile_qexec(paths["fcn_resnet50_int8_onnx"])
     params_native = init_fcn_resnet50(jax.random.PRNGKey(0))
 
     x0 = np.random.default_rng(0).normal(size=(B, 3, H, W)).astype(np.float32)
@@ -75,12 +82,15 @@ def main() -> int:
 
     int8_run = scan_forward(
         lambda p, x: model.fn(p, {"input": x})["out"])
+    int8_nhwc_run = scan_forward(
+        lambda p, x: qexec.fn({}, {"input": x})["out"])
     bf16_run = scan_forward(
         lambda p, x: _fcn_forward(p, x, "bfloat16")["out"].astype(jnp.float32))
 
     results = {}
     for name, fn, p, xin in (
             ("int8_imported", int8_run, model.params, x0),
+            ("int8_nhwc", int8_nhwc_run, {}, x0),
             ("bf16_native", bf16_run, params_native, x0_nhwc)):
         xd = jax.device_put(xin)
         pd = jax.device_put(p)

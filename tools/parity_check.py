@@ -62,14 +62,28 @@ def main() -> int:
     sp = init_segformer(_jax.random.PRNGKey(4), num_classes=21)
     segformer_q = quantize_static(segformer_to_onnx(sp, (h, w)), calib)
 
+    from infur_tpu.onnx.qexec import QExecUnsupported, compile_qexec
+
     ok = True
     for name, path in (("fcn_resnet50_f32", fcn_resnet50_onnx(args.root)),
                        ("fcn_resnet50_int8", fcn_resnet50_int8_onnx(args.root)),
+                       ("fcn_resnet50_int8_nhwc", fcn_resnet50_int8_onnx(args.root)),
                        ("lraspp_mnv3_int8", lraspp_q),
+                       ("lraspp_mnv3_int8_nhwc", lraspp_q),
                        ("segformer_b0_int8", segformer_q)):
         model = path if not isinstance(path, str) else load_model(path)
         want = run_model(model, feed)["out"]
-        got = np.asarray(import_model(model)(feed)["out"])
+        if name.endswith("_nhwc"):  # the channels-last serving executor
+            try:
+                exe = compile_qexec(model)
+            except QExecUnsupported as e:
+                print(json.dumps({"model": name, "pass": False,
+                                  "error": f"qexec: {e}"}), flush=True)
+                ok = False
+                continue
+            got = np.asarray(exe(feed)["out"])
+        else:
+            got = np.asarray(import_model(model)(feed)["out"])
         dev = float(np.abs(got - want).max() / max(np.abs(want).max(), 1e-9))
         gm, wm = got.argmax(1), want.argmax(1)
         agree = float((gm == wm).mean())
