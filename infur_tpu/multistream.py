@@ -13,10 +13,29 @@ Streams advance in lockstep (one tick = one frame from every live
 stream); a stream that hits EOF is closed and its slot re-renders the
 last retained frame — the per-stream analog of the single-stream EOF
 semantics (processing.rs:133-135).
+
+Transports (VERDICT r4 #4 — give multistream the bench path's wire):
+
+* ``wire="dense"`` (default): frames upload as dense BGR, results fetch
+  as dense RGBA — the display contract with no coding, the round-4
+  measured configuration.
+* ``wire="rle"``: decode-native i420 streams host-scale natively
+  (hostops), upload as per-stream keyed dirty-chunk deltas against
+  device-resident key frames (ops/framedelta.py), and the masks come
+  back run-boundary-coded with quarter-res confidence
+  (ops/maskcode.encode_payload) — the host composites the RGBA overlay
+  natively (hop_blend3).  Per-frame wire drops from ~3.6 MB
+  (1.5 in + 2.1 out at scale 0.5/1080p) to ~0.2 MB.
+* ``depth=2``: ``tick()`` dispatches the current batch and returns the
+  PREVIOUS tick's frames — one tick of latency hides the fetch+composite
+  behind the next batch's decode/encode/execute (the reference's own
+  GUI/Proc overlap, reference infur/src/main.rs:85-97).  ``flush()``
+  drains the tail.
 """
 
 from __future__ import annotations
 
+from collections import deque
 from dataclasses import dataclass
 
 import jax
@@ -27,6 +46,11 @@ from infur_tpu.errors import InfurError, ScaleError
 from infur_tpu.model_stage import _open_backend
 from infur_tpu.ops.preprocess import scale_to_hw
 from infur_tpu.processing import Cell, Frame, VideoPlayer, Play, resize_nearest
+
+#: keyed-delta geometry (identical to the bench path's measured config)
+_KEY_CAP = 512       # dirty chunks allowed frame-vs-key
+_CHUNK = 64          # chunk bytes
+_RLE_CAP = 64        # run-boundary words per mask row
 
 
 @dataclass
@@ -45,11 +69,16 @@ class MultiStreamApp:
     """
 
     def __init__(self, n_streams: int, mesh=None,
-                 bucket: int | None = None, cache_cap: int = 8):
+                 bucket: int | None = None, cache_cap: int = 8,
+                 wire: str = "dense", depth: int = 1):
         if n_streams < 1:
             raise InfurError("need at least one stream")
         if cache_cap < 1:
             raise InfurError("cache_cap must be >= 1")
+        if wire not in ("dense", "rle"):
+            raise InfurError(f"wire must be 'dense' or 'rle', got {wire!r}")
+        if depth not in (1, 2):
+            raise InfurError(f"depth must be 1 or 2, got {depth}")
         self.players = [VideoPlayer() for _ in range(n_streams)]
         self.cells: list[Cell[Frame]] = [Cell() for _ in range(n_streams)]
         self.scale = 1.0
@@ -62,6 +91,15 @@ class MultiStreamApp:
         # unbounded (VERDICT weak §6).
         self.bucket = bucket
         self.cache_cap = cache_cap
+        self.wire = wire
+        self.depth = depth
+        self._wire_warned = False
+        # keyed-delta state (wire="rle"): per-stream host key frames +
+        # the stacked device copy, valid for one scaled geometry
+        self._keys_host: np.ndarray | None = None   # (n_streams, nbytes)
+        self._keys_dev = None
+        self._key_hw: tuple[int, int] | None = None
+        self._inflight: deque = deque()
         from collections import OrderedDict
         self._step_cache: "OrderedDict[tuple, object]" = OrderedDict()
         if mesh is not None:
@@ -72,8 +110,14 @@ class MultiStreamApp:
     def n_streams(self) -> int:
         return len(self.players)
 
-    def play(self, stream: int, inputs: list[str]) -> None:
-        self.players[stream].control(Play(inputs))
+    def play(self, stream: int, inputs: list[str],
+             pix_fmt: str | None = None) -> None:
+        """Open a stream.  ``pix_fmt`` defaults to decode-native planar
+        frames under ``wire="rle"`` (the low-wire transport operates on
+        the i420 planes), packed BGR otherwise."""
+        if pix_fmt is None:
+            pix_fmt = "yuv420p" if self.wire == "rle" else "bgr24"
+        self.players[stream].control(Play(inputs, pix_fmt=pix_fmt))
 
     def set_scale(self, factor: float) -> None:
         if not (factor > 0):
@@ -128,6 +172,28 @@ class MultiStreamApp:
             oh = -(-oh // self.bucket) * self.bucket
             ow = -(-ow // self.bucket) * self.bucket
 
+        if self.wire == "rle":
+            oh -= oh % 2  # i420 chroma + payload geometry need even dims
+            ow -= ow % 2
+            rle_ok = (self._backend is not None and oh and ow and ow <= 1024
+                      and all(f.fmt == "i420" for _, f in produced))
+            if rle_ok:
+                # the fused ingest produces normalized RGB NHWC — the
+                # backend's contract must match (native families do;
+                # NCHW/u8 imports fall back dense, loudly)
+                cfg = self._backend.preproc((oh, ow))
+                rle_ok = (cfg.layout == "NHWC" and cfg.dtype == "f32"
+                          and cfg.channel_order == "rgb")
+            if rle_ok:
+                return self._tick_rle(produced, oh, ow)
+            if not self._wire_warned:  # loud, once — never silent fallback
+                self._wire_warned = True
+                import warnings
+                warnings.warn(
+                    "wire='rle' needs decode-native i420 streams, a loaded "
+                    "NHWC-f32 model and width <= 1024; serving dense",
+                    stacklevel=2)
+
         def as_bgr(f: Frame) -> np.ndarray:
             if f.fmt == "i420":  # decode-native stream: convert for batching
                 from infur_tpu.ops.yuv import i420_to_bgr_np
@@ -151,6 +217,175 @@ class MultiStreamApp:
         return [StreamFrame(stream=i, id=f.id, rgba=rgba[j])
                 for j, (i, f) in enumerate(produced)]
 
+    # ---- wire="rle": the bench path's transports for serving ----
+
+    def _scale_native(self, f: Frame, oh: int, ow: int,
+                      out: np.ndarray) -> None:
+        """Host Scale on the decode-native planes, native when built."""
+        h, w = f.height_width
+        try:
+            from infur_tpu import hostops as ho
+            if ho.have_hostops():
+                ho.scale_i420(f.img, h, w, oh, ow, out=out)
+                return
+        except Exception:
+            pass
+        from infur_tpu.ops.yuv import scale_i420
+        out[:] = scale_i420(f.img, h, w, oh, ow)
+
+    def _encode1(self, frame: np.ndarray, key: np.ndarray):
+        """One frame keyed against ``key`` -> flat wire, or None."""
+        from infur_tpu.ops.framedelta import encode_delta, pack_keyed_wire
+        try:
+            from infur_tpu import hostops as ho
+            enc = ho.delta_encode if ho.have_hostops() else encode_delta
+        except Exception:
+            enc = encode_delta
+        e = enc(np.stack([key, frame]), _KEY_CAP, _CHUNK)
+        if e is None:
+            return None
+        _, bidx, bdata = e
+        return pack_keyed_wire(bidx[0], bdata[0],
+                               np.zeros((0, 1), np.uint16),
+                               np.zeros((0, 1, _CHUNK), np.uint8))
+
+    def _rle_step(self, n: int, oh: int, ow: int, keyed: bool):
+        """Build/cache the jitted rle step for one batch geometry."""
+        ck = ("rle", n, oh, ow, keyed)
+        cached = self._step_cache.get(ck)
+        if cached is not None:
+            self._step_cache.move_to_end(ck)
+            return cached
+        b = self._backend
+        cfg = b.preproc((oh, ow))
+        from infur_tpu.ops import on_tpu
+        from infur_tpu.ops.framedelta import decode_keyed_wire
+        from infur_tpu.ops.maskcode import encode_payload, pack_mask6
+        from infur_tpu.ops.pallas_preprocess import i420_to_normalized_pallas
+        interp = not on_tpu()
+
+        @jax.jit
+        def step(inp, keys=None):
+            if keyed:
+                frames = jax.vmap(lambda wv, kv: decode_keyed_wire(
+                    wv, kv, 0, _KEY_CAP, 1, _CHUNK)[0])(inp, keys)
+            else:
+                frames = inp
+            x = jax.vmap(lambda fl: i420_to_normalized_pallas(
+                fl, oh, ow, mean=cfg.mean, std=cfg.std,
+                compute_dtype=cfg.compute_dtype,
+                interpret=interp))(frames)
+            outs = b(x)
+            scores = next(iter(outs.values()))          # (n, K, oh, ow)
+            mask = jnp.argmax(scores, axis=1).astype(jnp.uint8)
+            conf = jnp.clip(jnp.max(scores, axis=1) * 255.0,
+                            0, 255).astype(jnp.uint8)
+            payload = jax.vmap(
+                lambda m, c: encode_payload(m, c, _RLE_CAP))(mask, conf)
+            fb = pack_mask6(mask.reshape(n, -1))
+            return payload, fb
+
+        self._step_cache[ck] = step
+        while len(self._step_cache) > self.cache_cap:
+            self._step_cache.popitem(last=False)
+        return step
+
+    def _tick_rle(self, produced, oh: int, ow: int) -> list[StreamFrame]:
+        nbytes = oh * ow * 3 // 2
+        n = len(produced)
+        sm = np.empty((n, nbytes), np.uint8)
+        for j, (_i, f) in enumerate(produced):
+            self._scale_native(f, oh, ow, sm[j])
+
+        # keyed-delta H2D when every stream has a current-geometry key
+        wires = None
+        if self._key_hw == (oh, ow) and self._keys_host is not None:
+            ws = []
+            for j, (i, _f) in enumerate(produced):
+                w1 = self._encode1(sm[j], self._keys_host[i])
+                if w1 is None:
+                    ws = None
+                    break
+                ws.append(w1)
+            if ws is not None:
+                wires = np.stack(ws)
+        sharding = self._sharding
+        if sharding is not None and n % self.mesh.shape["data"]:
+            sharding = None
+        if wires is not None:
+            keys = jnp.stack([self._keys_dev[i] for i, _ in produced])
+            outs = self._rle_step(n, oh, ow, True)(
+                jax.device_put(wires, sharding), keys)
+        else:
+            # dense tick: also (re)establish the keys at this geometry
+            if self._keys_host is None or self._key_hw != (oh, ow):
+                self._keys_host = np.zeros(
+                    (self.n_streams, nbytes), np.uint8)
+                self._keys_dev = [None] * self.n_streams
+                self._key_hw = (oh, ow)
+            for j, (i, _f) in enumerate(produced):
+                self._keys_host[i] = sm[j]
+                self._keys_dev[i] = jax.device_put(self._keys_host[i])
+            outs = self._rle_step(n, oh, ow, False)(
+                jax.device_put(sm, sharding))
+
+        # snapshot (stream, id): the players REUSE their frame buffers,
+        # so Frame references from this tick are stale one tick later
+        metas = [(i, f.id) for i, f in produced]
+        self._inflight.append((metas, sm, (oh, ow), outs))
+        if len(self._inflight) >= self.depth:
+            return self._finish_rle(*self._inflight.popleft())
+        return []
+
+    def _finish_rle(self, metas, sm, hw, outs) -> list[StreamFrame]:
+        oh, ow = hw
+        n = len(metas)
+        from infur_tpu.ops.maskcode import decode_payload
+        from infur_tpu.ops.yuv import i420_to_bgr_np
+        payload = np.asarray(outs[0])
+        masks = np.empty((n, oh, ow), np.uint8)
+        confq = np.empty((n, oh // 2, ow // 2), np.uint8)
+        fb_host = None
+        for j in range(n):
+            m, cq = decode_payload(payload[j], oh, ow, _RLE_CAP)
+            confq[j] = cq
+            if m is None:  # run-cap overflow: lossless dense fallback
+                if fb_host is None:
+                    fb_host = np.asarray(outs[1])
+                try:
+                    from infur_tpu.hostops import unpack_mask6
+                    m = unpack_mask6(fb_host[j:j + 1])[0]
+                except Exception:
+                    from infur_tpu.ops.maskcode import unpack_mask6_np
+                    m = unpack_mask6_np(fb_host[j:j + 1])[0]
+                m = m.reshape(oh, ow)
+            masks[j] = m
+        base = np.empty((n, oh, ow, 3), np.uint8)
+        for j in range(n):
+            base[j] = i420_to_bgr_np(sm[j], oh, ow)
+        from infur_tpu.ops.colorcode import _DEFAULT_PALETTE
+        pal = np.asarray(_DEFAULT_PALETTE)[
+            np.arange(32) % len(_DEFAULT_PALETTE)].astype(np.uint8)
+        try:
+            from infur_tpu import hostops as ho
+            if ho.have_hostops():
+                rgba = ho.blend_overlay_bgr(masks, confq, base, pal)
+            else:
+                raise RuntimeError
+        except Exception:
+            from infur_tpu.hostops import blend_overlay_bgr_np
+            rgba = blend_overlay_bgr_np(masks, confq, base, pal)
+        return [StreamFrame(stream=i, id=fid, rgba=rgba[j])
+                for j, (i, fid) in enumerate(metas)]
+
+    def flush(self) -> list[StreamFrame]:
+        """Drain pipelined (depth=2) in-flight ticks; [] when none."""
+        out: list[StreamFrame] = []
+        while self._inflight:
+            out.extend(self._finish_rle(*self._inflight.popleft()))
+        return out
+
     def close(self) -> None:
+        self._inflight.clear()
         for p in self.players:
             p.close()
