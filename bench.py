@@ -167,6 +167,14 @@ INGEST = os.environ.get("INFUR_BENCH_INGEST", "keyed")  # keyed|delta|dense
 if INGEST not in ("keyed", "delta", "dense"):
     raise SystemExit(
         f"INFUR_BENCH_INGEST must be keyed|delta|dense, got {INGEST!r}")
+# model compute dtype: bf16 (throughput), f32 (the EXACT-mask config —
+# BASELINE.md's fidelity bar is masks matching the f32 oracle
+# bit-for-bit, so the exact headline runs f32), int8 (the quantized
+# serving path via the NHWC executor, onnx/qexec.py)
+DTYPE = os.environ.get("INFUR_BENCH_DTYPE", "bf16")
+if DTYPE not in ("bf16", "f32", "int8"):
+    raise SystemExit(f"INFUR_BENCH_DTYPE must be bf16|f32|int8, got {DTYPE!r}")
+INTERACTIVE_DEPTH = int(os.environ.get("INFUR_BENCH_INTERACTIVE_DEPTH", "2"))
 DELTA_CHUNK = 64  # dirty-chunk granularity (bytes of the flat I420 buffer)
 DELTA_CAP = int(os.environ.get("INFUR_BENCH_DELTA_CAP", "384"))  # chunks/frame
 KEY_CAP = int(os.environ.get("INFUR_BENCH_KEY_CAP", "512"))  # base-vs-key cap
@@ -219,6 +227,7 @@ def _build_result() -> dict:
         "median_fps": round(med, 2),
         "payload": PACK + (f"+conf_{CONF}"
                            if PACK == "rle" and CONF != "q2" else ""),
+        "dtype": DTYPE,
     }
     if lat_ms:
         out["frame_latency_p50_ms"] = round(float(np.percentile(lat_ms, 50)), 1)
@@ -509,6 +518,28 @@ def main() -> int:
     params = init_fcn_resnet50(jax.random.PRNGKey(0))
     oh, ow = scale_to_hw(SCALE, H, W)
 
+    # model compute dtype (INFUR_BENCH_DTYPE): the ingest kernel's output
+    # dtype follows; int8 routes through the NHWC quantized executor
+    ingest_dtype = "bfloat16" if DTYPE == "bf16" else "float32"
+    _qexe = None
+    if DTYPE == "int8":
+        from infur_tpu import testgen
+        from infur_tpu.onnx.qexec import compile_qexec
+        qpaths = testgen.generate(
+            os.environ.get("INFUR_FIXTURES", "/tmp/infur_fixtures"),
+            verbose=True)
+        _qexe = compile_qexec(qpaths["fcn_resnet50_int8_onnx"],
+                              input_layout="NHWC")
+
+    def _model_scores(params, x):
+        """NHWC ingest output -> NCHW class scores under DTYPE."""
+        if DTYPE == "int8":
+            return _qexe.fn({}, {"input": x})["out"]
+        with jax.default_matmul_precision(
+                "highest" if DTYPE == "f32" else "default"):
+            return _fcn_forward(
+                params, x, "float32" if DTYPE == "f32" else "bfloat16")["out"]
+
     # concurrent-fetch chunk count: divides the batch; 1 disables
     n_fetch = max(1, min(FETCH, BATCH))
     while BATCH % n_fetch:
@@ -534,9 +565,9 @@ def main() -> int:
         shared by both ingest modes and both batch shapes (throughput
         BATCH / interactive 1, via the static nf chunk count)."""
         x = jax.vmap(lambda f: i420_to_normalized_pallas(
-            f, oh, ow, compute_dtype="bfloat16",
+            f, oh, ow, compute_dtype=ingest_dtype,
             interpret=CPU_MODE))(yuv_flat_batch)
-        scores = _fcn_forward(params, x, "bfloat16")["out"]
+        scores = _model_scores(params, x)
         mask = jnp.argmax(scores, axis=1).astype(jnp.uint8)
         conf = jnp.clip(jnp.max(scores, axis=1) * 255.0, 0, 255).astype(jnp.uint8)
         if PACK == "rle":
@@ -627,6 +658,15 @@ def main() -> int:
                                    DELTA_CAP, DELTA_CHUNK)
         return _infer_pack(params, frames, n_fetch)
 
+    @jax.jit
+    def step1_keyed(params, wire, key):
+        """ONE keyed-coded frame + resident key -> packed outputs: the
+        interactive path's low-wire H2D (same codec, zero follow frames —
+        a ~34 KB upload instead of the 0.78 MB dense I420 frame)."""
+        frames = decode_keyed_wire(wire, key, 0, KEY_CAP, DELTA_CAP,
+                                   DELTA_CHUNK)
+        return _infer_pack(params, frames, 1)
+
     try:  # native host stage (csrc/hostops.cpp): GIL-free scale + delta
         from infur_tpu import hostops as _ho
         native_host = _ho.have_hostops()
@@ -651,6 +691,18 @@ def main() -> int:
         enc = encode_keyed(sm, _key["host"], KEY_CAP, DELTA_CAP,
                            DELTA_CHUNK, encoder=_encoder)
         return None if enc is None else pack_keyed_wire(*enc)
+
+    def pack_keyed1(f1: np.ndarray):
+        """One (1, nbytes) frame coded against the resident key (no
+        follow frames) -> flat wire, or None on cap overflow."""
+        enc0 = _encoder(np.stack([_key["host"], f1[0]]), KEY_CAP,
+                        DELTA_CHUNK)
+        if enc0 is None:
+            return None
+        _, bidx, bdata = enc0
+        return pack_keyed_wire(
+            bidx[0], bdata[0], np.zeros((0, DELTA_CAP), np.uint16),
+            np.zeros((0, DELTA_CAP, DELTA_CHUNK), np.uint8))
 
     def dispatch(sm: np.ndarray):
         """One batch to the device via the configured ingest transport."""
@@ -959,20 +1011,43 @@ def main() -> int:
             crc = zlib.crc32(np.ascontiguousarray(bf16_mask).tobytes())
             _extra["mask_crc32"] = f"{crc:08x}"
             # the pin: INFUR_BENCH_EXPECT_CRC env, else the repo-persisted
-            # BENCH_EXPECT.json keyed by (metric, payload, device kind) —
-            # so the driver's no-env runs still re-prove determinism
-            # against the recorded hardware value
+            # BENCH_EXPECT.json keyed by (metric, payload, dtype, device
+            # kind) — so the driver's no-env runs still re-prove
+            # determinism against the recorded hardware value.  A config
+            # measured for the first time pins ITSELF (VERDICT r4 #7):
+            # the new row is written back so every headline config is
+            # born pinned (INFUR_BENCH_NO_PIN=1 opts out).
             expect = os.environ.get("INFUR_BENCH_EXPECT_CRC")
-            crc_key = "|".join([_metric_name(), PACK,
+            expect_path = os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "BENCH_EXPECT.json")
+            crc_key = "|".join([_metric_name(), PACK, DTYPE,
                                 jax.devices()[0].device_kind])
+            legacy_key = "|".join([_metric_name(), PACK,
+                                   jax.devices()[0].device_kind])
             if not expect:
                 try:
-                    with open(os.path.join(os.path.dirname(
-                            os.path.abspath(__file__)),
-                            "BENCH_EXPECT.json")) as f:
-                        expect = json.load(f).get(crc_key)
+                    with open(expect_path) as f:
+                        table = json.load(f)
+                    expect = table.get(crc_key)
+                    if expect is None and DTYPE == "bf16":
+                        expect = table.get(legacy_key)  # pre-dtype pins
                 except Exception:
-                    expect = None
+                    table, expect = {}, None
+                if expect is None \
+                        and os.environ.get("INFUR_BENCH_NO_PIN", "") != "1":
+                    try:
+                        table[crc_key] = _extra["mask_crc32"]
+                        tmp = expect_path + ".tmp"
+                        with open(tmp, "w") as f:
+                            json.dump(table, f, indent=1, sort_keys=True)
+                            f.write("\n")
+                        os.replace(tmp, expect_path)
+                        _extra["mask_crc_pinned"] = True
+                        print(f"bench: pinned {crc_key} = "
+                              f"{_extra['mask_crc32']} in BENCH_EXPECT.json",
+                              file=sys.stderr, flush=True)
+                    except Exception:
+                        pass
             if expect:
                 _extra["mask_crc_match"] = (str(expect).lower()
                                             == _extra["mask_crc32"])
@@ -987,7 +1062,10 @@ def main() -> int:
 
             f32_mask = np.asarray(jax.jit(_f32_mask)(
                 params, jax.device_put(sm)))
-            _extra["mask_agreement_bf16_vs_f32"] = round(
+            # the metric's fidelity bar (BASELINE.md): measured masks vs
+            # the f32 forward.  DTYPE=f32 must score 1.0 — the exact
+            # config; bf16/int8 report their approximation honestly.
+            _extra[f"mask_agreement_{DTYPE}_vs_f32"] = round(
                 float((f32_mask == bf16_mask).mean()), 5)
             _write_partial()
         except Exception as e:  # never lose the fps line to a proof phase
@@ -1004,10 +1082,10 @@ def main() -> int:
         try:
             def _fwd_sum(params, yuv, eps):
                 x = jax.vmap(lambda f: i420_to_normalized_pallas(
-                    f, oh, ow, compute_dtype="bfloat16",
+                    f, oh, ow, compute_dtype=ingest_dtype,
                     interpret=CPU_MODE))(yuv)
                 x = x + eps.astype(x.dtype)
-                scores = _fcn_forward(params, x, "bfloat16")["out"]
+                scores = _model_scores(params, x)
                 return jnp.sum(scores.astype(jnp.float32))
 
             def _runk(params, yuv, k):
@@ -1098,25 +1176,62 @@ def main() -> int:
                   file=sys.stderr, flush=True)
 
     if INTERACTIVE:
-        # VERDICT r3 #6: latency-optimized mode — batch 1, depth 1, one
-        # fetch, fully synchronous (decode -> dispatch -> fetch ->
-        # composite per frame), reporting p50/p99 and its own fps.
+        # VERDICT r3 #6 + r4 #3: latency-optimized mode — batch 1, ONE
+        # frame of pipelining (INFUR_BENCH_INTERACTIVE_DEPTH, default 2:
+        # dispatch frame N, then fetch/composite frame N-1 while N rides
+        # the relay — one frame of extra latency hides one roundtrip,
+        # the reference's own GUI/Proc split does exactly this through
+        # its sync_channel(2), reference infur/src/main.rs:85-97), and
+        # the keyed-delta H2D wire (~34 KB/frame vs 0.78 MB dense).
+        # Reported: per-frame p50/p99 completion latency and the
+        # wall-clock fps of the whole phase.
         try:
+            idepth = max(1, INTERACTIVE_DEPTH)
+            use_ikeyed = use_keyed  # the throughput key transfers
+
+            def step_one(f1: np.ndarray):
+                if use_ikeyed:
+                    d = pack_keyed1(f1)
+                    if d is not None:
+                        return step1_keyed(params, jax.device_put(d),
+                                           _key["dev"])
+                    # cap overflow: dense frame + key refresh
+                    link_info["key_refreshes"] += 1
+                    _set_key(f1[0])
+                return step1(params, jax.device_put(f1))
+
             sm1 = host_stage(0, batch=1)
-            w1 = step1(params, jax.device_put(sm1))
-            composite(sm1, fetch_host(w1))  # compile + warm
+            composite(sm1, fetch_host(step_one(sm1)))  # compile + warm
+            if use_ikeyed:  # the dense fallback must be warm too
+                composite(sm1, fetch_host(step1(params,
+                                                jax.device_put(sm1))))
             ilat = []
+            q: deque = deque()
+
+            def drain_one():
+                p_t0, p_f1, p_outs = q.popleft()
+                composite(p_f1, fetch_host(p_outs))
+                ilat.append((time.perf_counter() - p_t0) * 1e3)
+
+            t_run = time.perf_counter()
             for _ in range(INTERACTIVE_FRAMES):
                 t0 = time.perf_counter()
                 f1 = host_stage(0, batch=1)
-                outs = step1(params, jax.device_put(f1))
-                composite(f1, fetch_host(outs))
-                ilat.append((time.perf_counter() - t0) * 1e3)
+                q.append((t0, f1, step_one(f1)))
+                if len(q) >= idepth:
+                    drain_one()
+            while q:
+                drain_one()
+            total_s = time.perf_counter() - t_run
             _extra["frame_latency_interactive_p50_ms"] = round(
                 float(np.percentile(ilat, 50)), 1)
             _extra["frame_latency_interactive_p99_ms"] = round(
                 float(np.percentile(ilat, 99)), 1)
-            _extra["interactive_fps"] = round(1e3 / float(np.median(ilat)), 2)
+            _extra["interactive_fps"] = round(
+                INTERACTIVE_FRAMES / total_s, 2)
+            _extra["interactive_depth"] = idepth
+            _extra["interactive_ingest"] = ("keyed" if use_ikeyed
+                                            else "dense")
             _write_partial()
         except Exception as e:
             print(f"bench: interactive phase failed: {e!r}",
