@@ -338,33 +338,27 @@ def compile_qexec(model_or_path: ModelProto | str | bytes, *,
                     np.float32(b_s) / np.float32(y_s))
             except ValueError as e:
                 raise QExecUnsupported(f"QLinearAdd multiplier: {e}") from e
-            # The rescale terms depend only on the 8-bit input codes, so
-            # the two fixed-point chains collapse to 256-entry int32
-            # LUTs built with the ORACLE's own core (oracle
-            # _qlinear_add_int); the closing step
-            # ``fixed_round(ta+tb, 2**30, 30+L)`` is exactly
-            # ``sign(s) * ((|s| + 2**(L-1)) >> L)`` (divide numerator and
-            # denominator by 2**30; |s| <= 2**30 so the magnitude
-            # saturation can't bind).  This was the top cost center of
-            # the whole int8 forward — two ~20-op mulhi chains per
-            # residual element — now two gathers and a shift.
+            # Oracle twin (_qlinear_add_int) with two exact
+            # specializations: the rescale terms run the shl20 chain
+            # (the ``<< 20`` input's low 16 bits are statically zero —
+            # half the general mulhi ops, onnx/requant.py), and the
+            # closing ``fixed_round(ta+tb, 2**30, 30+L)`` is exactly
+            # ``sign(s) * ((|s| + 2**(L-1)) >> L)`` (divide numerator
+            # and denominator by 2**30; |s| <= 2**30 keeps the
+            # saturation from binding).  The per-term clip at 2**29
+            # matches the oracle's int32-safety clamp.
             from infur_tpu.onnx.oracle import _QADD_SHIFT
-            from infur_tpu.onnx.requant import fixed_round_ref
+            from infur_tpu.onnx.requant import fixed_round_shl20_jnp
             L = _QADD_SHIFT
-            codes = np.arange(256, dtype=np.int64) - 128  # s8 code values
-            ta_tab = np.clip(
-                fixed_round_ref((codes - a_zp8) << L, qa, sha),
-                -(1 << 29), 1 << 29).astype(np.int32)
-            tb_tab = np.clip(
-                fixed_round_ref((codes - b_zp8) << L, qb, shb),
-                -(1 << 29), 1 << 29).astype(np.int32)
 
-            def run(env, ins=ins, outs=outs, ta_tab=ta_tab, tb_tab=tb_tab,
-                    y_zp8=y_zp8, L=L):
-                ta = jnp.take(jnp.asarray(ta_tab),
-                              env[ins[0]].astype(jnp.int32) + 128)
-                tb = jnp.take(jnp.asarray(tb_tab),
-                              env[ins[3]].astype(jnp.int32) + 128)
+            def run(env, ins=ins, outs=outs, qa=qa, sha=sha, qb=qb,
+                    shb=shb, a_zp8=a_zp8, b_zp8=b_zp8, y_zp8=y_zp8):
+                ta = jnp.clip(fixed_round_shl20_jnp(
+                    env[ins[0]].astype(jnp.int32) - a_zp8, qa, sha),
+                    -(1 << 29), 1 << 29)
+                tb = jnp.clip(fixed_round_shl20_jnp(
+                    env[ins[3]].astype(jnp.int32) - b_zp8, qb, shb),
+                    -(1 << 29), 1 << 29)
                 s = ta + tb
                 r = (jnp.abs(s) + jnp.int32(1 << (L - 1))) >> L
                 y = jnp.where(s < 0, -r, r) + jnp.int32(y_zp8)

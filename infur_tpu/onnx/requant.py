@@ -123,9 +123,7 @@ def fixed_round_jnp(acc, q: np.ndarray, shift: np.ndarray):
     # magnitude in uint32 two's complement: 0 - 0x80000000 == 0x80000000 == 2**31
     mag = jnp.where(neg, jnp.uint32(0) - a_u, a_u)
 
-    sh_np = np.asarray(shift, np.int64)
     q_u = jnp.asarray(np.asarray(q, np.uint32))
-    shift = jnp.asarray(np.asarray(shift, np.int32))
     b0 = q_u & jnp.uint32(0xFFFF)
     b1 = q_u >> 16                      # < 2**15
     a0 = mag & jnp.uint32(0xFFFF)
@@ -138,14 +136,59 @@ def fixed_round_jnp(acc, q: np.ndarray, shift: np.ndarray):
              + (mid2 & jnp.uint32(0xFFFF))) >> 16
     hi = a1 * b1 + (mid1 >> 16) + (mid2 >> 16) + carry   # < 2**31
 
-    if np.all(sh_np >= 33):
+    lo = lo_lo + ((mid1 + mid2) << 16)                   # mod 2**32
+    res = _shift_round_u32(hi, lo, shift)
+    return jnp.where(neg, -res, res)
+
+
+def fixed_round_shl20_jnp(v, q: np.ndarray, shift: np.ndarray):
+    """Exactly ``fixed_round_jnp(v << 20, q, shift)`` for small ``v``
+    (``|v| <= 2**11`` — QLinearAdd's rescale terms feed ``a8 - zp8``).
+
+    ``v << 20`` has statically-zero low 16 bits, so half the general
+    mulhi chain drops out: ``a0 = 0`` kills ``lo_lo``/``mid2``/``carry``
+    and the high word is just ``a1*b1 + (a1*b0 >> 16)`` with
+    ``a1 = |v| << 4``.  Same integers, half the vector ops — this chain
+    runs per element of every residual Add in the quantized CNNs and was
+    the int8 forward's top cost center (BENCH_NOTES.md round 5).
+
+    NOTE: a 256-entry LUT is mathematically cleaner but gathers do NOT
+    vectorize on the TPU — a table-gather variant measured 200x SLOWER
+    end-to-end (2.5 s/frame) and faulted the TPU worker under lax.scan.
+    """
+    import jax.numpy as jnp
+
+    v = jnp.asarray(v, jnp.int32)
+    neg = v < 0
+    mag = jnp.where(neg, -v, v).astype(jnp.uint32)   # <= 2**11
+    q_u = jnp.asarray(np.asarray(q, np.uint32))
+    b0 = q_u & jnp.uint32(0xFFFF)
+    b1 = q_u >> 16                                    # < 2**15
+    a1 = mag << 4                                     # (v<<20) >> 16
+    mid1 = a1 * b0                                    # < 2**31
+    hi = a1 * b1 + (mid1 >> 16)                       # < 2**31
+    lo = mid1 << 16
+    res = _shift_round_u32(hi, lo, shift)
+    return jnp.where(neg, -res, res)
+
+
+def _shift_round_u32(hi, lo, shift):
+    """Shared rounding-shift tail of the uint32-limb mulhi: magnitude
+    ``min(((hi*2**32 + lo) + 2**(shift-1)) >> shift, 2**30)``.  ``shift``
+    is a host constant; all-``>=33`` shifts drop the low word statically
+    (see :func:`fixed_round_jnp`)."""
+    import os
+
+    import jax.numpy as jnp
+
+    sh_np = np.asarray(shift, np.int64)
+    shift = jnp.asarray(np.asarray(shift, np.int32))
+    if np.all(sh_np >= 33) \
+            and os.environ.get("INFUR_REQUANT_GE33", "1") != "0":
         r_hi = jnp.asarray(
             (np.int64(1) << (sh_np - 33)).astype(np.uint32))
         res = (hi + r_hi) >> (shift - 32).astype(jnp.uint32)
-        res = jnp.minimum(res, jnp.uint32(_MAG_SAT)).astype(jnp.int32)
-        return jnp.where(neg, -res, res)
-
-    lo = lo_lo + ((mid1 + mid2) << 16)                   # mod 2**32
+        return jnp.minimum(res, jnp.uint32(_MAG_SAT)).astype(jnp.int32)
 
     # full = hi * 2**32 + lo  (< 2**62);  result = (full + 2**(shift-1)) >> shift
     # Split on shift <=/>= 32 (shift is data here — per-channel arrays —
@@ -173,8 +216,7 @@ def fixed_round_jnp(acc, q: np.ndarray, shift: np.ndarray):
     res_lt32 = jnp.where(hip >> shl > 0, jnp.uint32(0xFFFFFFFF), res_lt32)
 
     res = jnp.where(sh >= 32, res_ge32, res_lt32)
-    res = jnp.minimum(res, jnp.uint32(_MAG_SAT)).astype(jnp.int32)
-    return jnp.where(neg, -res, res)
+    return jnp.minimum(res, jnp.uint32(_MAG_SAT)).astype(jnp.int32)
 
 
 def requant_jnp(acc, q: np.ndarray, shift: np.ndarray, y_zp, out_dtype):

@@ -217,3 +217,29 @@ def test_model_stage_int8_mesh_dp(rng):
     from infur_tpu.errors import ModelLoadError
     with pytest.raises(ModelLoadError):  # spatial sharding is not offered
         ModelStage().control(Load("lraspp:int8:mesh=2x2"))
+
+
+def test_model_stage_keyed_ingest_lossless(rng, monkeypatch):
+    """The app model path's keyed dirty-chunk H2D (VERDICT r4 #3): the
+    rebuilt device frame is byte-identical to the host frame, cap
+    overflow refreshes the key, and INFUR_APP_INGEST=dense disables."""
+    import infur_tpu.ops as ops_pkg
+    from infur_tpu.model_stage import ModelStage
+
+    monkeypatch.setattr(ops_pkg, "on_tpu", lambda: True)
+    st = ModelStage()
+    n = 64 * 600  # chunks cleanly; > the 512-chunk key cap when all-dirty
+    f1 = rng.integers(0, 256, n, dtype=np.int16).astype(np.uint8)
+    d1 = st._keyed_ingest(f1)  # first frame: dense upload becomes the key
+    np.testing.assert_array_equal(np.asarray(d1), f1)
+    f2 = f1.copy()
+    f2[128:192] ^= 255  # one dirty chunk
+    d2 = st._keyed_ingest(f2)
+    np.testing.assert_array_equal(np.asarray(d2), f2)  # lossless rebuild
+    assert np.array_equal(st._ikey["host"], f1)  # key unchanged (delta hit)
+    f3 = rng.integers(0, 256, n, dtype=np.int16).astype(np.uint8)
+    d3 = st._keyed_ingest(f3)  # everything dirty: cap overflow -> refresh
+    np.testing.assert_array_equal(np.asarray(d3), f3)
+    assert np.array_equal(st._ikey["host"], f3)
+    monkeypatch.setenv("INFUR_APP_INGEST", "dense")
+    assert st._keyed_ingest(f1) is None

@@ -118,3 +118,20 @@ def test_jnp_shift_specialization_boundary():
     ref = requant_ref(acc, q, shift, 0, np.int8)
     dev = np.asarray(requant_jnp(acc.astype(np.int32), q, shift, 0, np.int8))
     np.testing.assert_array_equal(dev, ref)
+
+
+def test_shl20_specialization_exact():
+    """fixed_round_shl20_jnp(v, q, s) == fixed_round_ref(v << 20, q, s)
+    over the whole QLinearAdd input domain and a multiplier sweep."""
+    from infur_tpu.onnx.requant import (fixed_round_ref,
+                                        fixed_round_shl20_jnp)
+
+    v = np.arange(-511, 512, dtype=np.int64)
+    rng = np.random.default_rng(11)
+    ms = np.concatenate([10.0 ** rng.uniform(-4, 2, 24),
+                         [2.0**-31, 0.5, 1.0, 2.0, 1.0 - 2.0**-24]])
+    for m in ms:
+        q, shift = decompose_multiplier(m)
+        ref = fixed_round_ref(v << 20, q, shift)
+        got = np.asarray(fixed_round_shl20_jnp(v.astype(np.int32), q, shift))
+        np.testing.assert_array_equal(got, ref, err_msg=f"m={m!r}")
