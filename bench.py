@@ -483,6 +483,14 @@ def main() -> int:
                 warm_waited += WATCHDOG_S
                 if warm_waited < warmup_wd:
                     continue  # still compiling/warming: deadline backstops
+                # warmup budget exhausted with ZERO progress: emit now —
+                # falling through with seen=None would wait two more full
+                # windows (~2*WATCHDOG_S) with no deadline backstop when
+                # INFUR_BENCH_DEADLINE_S=0
+                print("bench: watchdog fired (warmup budget exhausted), "
+                      "emitting best-so-far", file=sys.stderr, flush=True)
+                _emit_once()
+                os._exit(0)
             if now == seen:
                 print("bench: watchdog fired, emitting best-so-far",
                       file=sys.stderr, flush=True)

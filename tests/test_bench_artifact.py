@@ -126,13 +126,19 @@ def test_watchdog_defers_during_warmup(tmp_path):
     compilation cache, zero at watchdog_s + preflight)."""
     proc, err = _launch(tmp_path, INFUR_BENCH_TEST_STALL="warmup",
                         INFUR_BENCH_WATCHDOG_S="1",
-                        INFUR_BENCH_DEADLINE_S="6")
+                        INFUR_BENCH_DEADLINE_S="25")
     stdout, _ = proc.communicate(timeout=180)
     out = _json_line(stdout)
     assert out["value"] == 0.0
     assert proc.returncode == 0
-    # the watchdog stayed silent; the deadline did the emitting
-    assert "watchdog fired" not in err.read_text(errors="replace")
+    stderr = err.read_text(errors="replace")
+    # the warmup stall must actually have been REACHED — with a too-small
+    # deadline the emission can happen during preflight/jax import and the
+    # watchdog-silence assertion below would hold vacuously
+    assert "TEST STALL at warmup" in stderr
+    # the watchdog stayed silent through >= 10 one-second windows of
+    # warmup stall; the deadline did the emitting
+    assert "watchdog fired" not in stderr
 
 
 def test_preflight_bounded_by_deadline(tmp_path):

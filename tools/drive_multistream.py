@@ -8,10 +8,24 @@ comparable:
   1. single-stream fps (batch-1 ticks, the interactive serving shape)
   2. N-stream aggregate fps and per-stream fps
 
-and prints the batching speedup (aggregate / single-stream): the
-data-parallel serving claim as a measurement (VERDICT r3 #5).  The D2H
-is each stream's composited RGBA — the interactive app's dense display
-contract, no wire tricks.
+per transport lane, and prints the batching speedup (aggregate /
+single-stream): the data-parallel serving claim as a measurement
+(VERDICT r3 #5, re-measured with the wire transports for r4 #4):
+
+  * dense_d2h    — dense BGR up, composited RGBA down (at the scaled
+                   output geometry: 960x540x4 ~= 2.1 MB/frame, NOT the
+                   1080p input size — the display contract is at output
+                   scale)
+  * device_rate  — same step, block on the device value only (isolates
+                   decode+H2D+compute from the D2H fetch)
+  * rle          — wire="rle" depth=2: native host i420 scale, keyed
+                   dirty-chunk H2D, run-boundary mask + quarter-conf D2H,
+                   native host composite (~0.2 MB/frame total wire)
+
+Each lane's JSON row prints the moment it completes, and the 840 s kill
+timer emits the partial result set before exiting — a degraded-relay
+window loses at most the lane in flight (the unloseable-artifact rule,
+bench.py style).
 
 Run: PYTHONPATH=/root/.axon_site:/root/repo timeout 900 python tools/drive_multistream.py
 """
@@ -20,7 +34,36 @@ import os
 import threading
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
-killer = threading.Timer(840.0, lambda: os._exit(3))
+
+N, TICKS, WARM = 4, 24, 2
+rows: dict = {}
+
+
+def _emit(partial: bool) -> None:
+    import bench
+    out = {
+        "metric": ("multistream_aggregate_fps_1080p_lraspp"
+                   if (bench.W, bench.H) == (1920, 1080) else
+                   f"multistream_aggregate_fps_{bench.W}x{bench.H}_lraspp"),
+        "n_streams": N,
+    }
+    if partial:
+        out["partial"] = True
+    for lane, r in rows.items():
+        if lane == "dense_d2h":
+            out.update(r)
+        else:
+            suffix = {"device_rate": "_device", "rle": "_rle"}[lane]
+            out.update({f"{k}{suffix}": v for k, v in r.items()})
+    print(json.dumps(out), flush=True)
+
+
+def _die():
+    _emit(partial=True)
+    os._exit(3)
+
+
+killer = threading.Timer(840.0, _die)
 killer.daemon = True
 killer.start()
 
@@ -32,17 +75,20 @@ import bench  # noqa: E402  (repo root on path — fixture path helper)
 
 from infur_tpu.multistream import MultiStreamApp  # noqa: E402
 
-N, TICKS, WARM = 4, 24, 2
 fixture = bench._fixture_path()
 
 
-def measure(n_streams: int, ticks: int, fetch: bool) -> tuple[float, int]:
-    """fetch=True materializes every composited RGBA to host (the dense
-    display contract: ~8.3 MB/frame at 1080p over the relay link);
-    fetch=False blocks on the device value only, isolating the
-    decode+H2D+compute rate the batch actually achieves on-chip."""
+def measure(n_streams: int, ticks: int, lane: str) -> tuple[float, int]:
+    """dense_d2h materializes every composited RGBA to host (the dense
+    display contract at output scale: 960x540x4 ~= 2.1 MB/frame over the
+    relay); device_rate blocks on the device value only, isolating the
+    decode+H2D+compute rate the batch achieves on-chip; rle runs the
+    wire="rle" depth=2 transport (frames arrive host-composited)."""
     import jax
-    app = MultiStreamApp(n_streams)
+    if lane == "rle":
+        app = MultiStreamApp(n_streams, wire="rle", depth=2)
+    else:
+        app = MultiStreamApp(n_streams)
     for i in range(n_streams):
         app.play(i, [fixture])
     app.set_scale(0.5)
@@ -54,23 +100,26 @@ def measure(n_streams: int, ticks: int, fetch: bool) -> tuple[float, int]:
     n = 0
     for _ in range(ticks):
         for f in app.tick():
-            if fetch:
+            if lane == "dense_d2h":
                 np.asarray(f.rgba)  # materialize: the display contract
-            else:
+            elif lane == "device_rate":
                 jax.block_until_ready(f.rgba)
+            else:
+                np.asarray(f.rgba)  # rle frames are already host arrays
         n += n_streams
+    if lane == "rle":
+        for f in app.flush():  # drain the depth-2 tail
+            np.asarray(f.rgba)
     dt = time.perf_counter() - t0
     app.close()
     return n / dt, n
 
 
-rows = {}
-for fetch in (True, False):
-    lane = "dense_d2h" if fetch else "device_rate"
-    single_fps, n1 = measure(1, TICKS, fetch)
+for lane in ("rle", "dense_d2h", "device_rate"):
+    single_fps, n1 = measure(1, TICKS, lane)
     print(f"[{lane}] 1 stream  x {TICKS} ticks: {n1} frames = "
           f"{single_fps:.2f} fps", flush=True)
-    agg_fps, n4 = measure(N, TICKS, fetch)
+    agg_fps, n4 = measure(N, TICKS, lane)
     print(f"[{lane}] {N} streams x {TICKS} ticks: {n4} frames = "
           f"{agg_fps:.2f} aggregate fps ({agg_fps / N:.2f}/stream)",
           flush=True)
@@ -80,11 +129,6 @@ for fetch in (True, False):
         "single_stream_fps": round(single_fps, 2),
         "batching_speedup": round(agg_fps / single_fps, 2),
     }
-print(json.dumps({
-    "metric": ("multistream_aggregate_fps_1080p_lraspp"
-               if (bench.W, bench.H) == (1920, 1080) else
-               f"multistream_aggregate_fps_{bench.W}x{bench.H}_lraspp"),
-    "n_streams": N, **rows["dense_d2h"], **{
-        f"{k}_device": v for k, v in rows["device_rate"].items()},
-}), flush=True)
+    print(json.dumps({"lane": lane, **rows[lane]}), flush=True)
+_emit(partial=False)
 os._exit(0)
