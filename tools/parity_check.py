@@ -30,8 +30,14 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--root", default="fixtures")
     p.add_argument("--size", default="64x64")
+    p.add_argument("--models", default="",
+                   help="comma-separated substring filter (e.g. 'fcn'); "
+                        "empty = all.  At bench resolution (960x540) the "
+                        "NumPy oracle is minutes per architecture — run "
+                        "one family per invocation.")
     args = p.parse_args()
     h, w = (int(v) for v in args.size.split("x"))
+    filters = [f for f in args.models.split(",") if f]
 
     from infur_tpu.onnx import import_model, load_model, run_model
     from infur_tpu.testgen import (
@@ -42,37 +48,53 @@ def main() -> int:
     rng = np.random.default_rng(0)
     feed = {"input": rng.normal(size=(1, 3, h, w)).astype(np.float32)}
 
-    # second architecture: int8 LRASPP (LUT activations, QLinearMul SE
-    # gates, quantized GAP, integer Resize — the full-integer interior)
     import jax as _jax
-    from infur_tpu.models.lraspp_mobilenetv3 import (
-        init_lraspp_mobilenet_v3_large, lraspp_to_onnx,
-    )
-    from infur_tpu.onnx.passes import fold_batchnorm
-    from infur_tpu.onnx.quantize import quantize_static
-    lp = init_lraspp_mobilenet_v3_large(_jax.random.PRNGKey(3))
     calib = [{"input": rng.normal(size=(1, 3, h, w)).astype(np.float32) * 0.5}
              for _ in range(3)]
-    lraspp_q = quantize_static(fold_batchnorm(lraspp_to_onnx(lp)), calib)
 
-    # third architecture: int8 SegFormer — the quantized TRANSFORMER
-    # (QLinearMatMul dense layers, f32 attention/LN islands between
-    # quantized regions)
-    from infur_tpu.models.segformer import init_segformer, segformer_to_onnx
-    sp = init_segformer(_jax.random.PRNGKey(4), num_classes=21)
-    segformer_q = quantize_static(segformer_to_onnx(sp, (h, w)), calib)
+    def lraspp_q():
+        # LUT activations, QLinearMul SE gates, quantized GAP, integer
+        # Resize — the full-integer CNN interior
+        from infur_tpu.models.lraspp_mobilenetv3 import (
+            init_lraspp_mobilenet_v3_large, lraspp_to_onnx,
+        )
+        from infur_tpu.onnx.passes import fold_batchnorm
+        from infur_tpu.onnx.quantize import quantize_static
+        lp = init_lraspp_mobilenet_v3_large(_jax.random.PRNGKey(3))
+        return quantize_static(fold_batchnorm(lraspp_to_onnx(lp)), calib)
+
+    def segformer_q():
+        # the quantized TRANSFORMER (QLinearMatMul dense layers, integer
+        # LN/softmax between quantized regions)
+        from infur_tpu.models.segformer import init_segformer, segformer_to_onnx
+        from infur_tpu.onnx.quantize import quantize_static
+        sp = init_segformer(_jax.random.PRNGKey(4), num_classes=21)
+        return quantize_static(segformer_to_onnx(sp, (h, w)), calib)
 
     from infur_tpu.onnx.qexec import QExecUnsupported, compile_qexec
 
     ok = True
-    for name, path in (("fcn_resnet50_f32", fcn_resnet50_onnx(args.root)),
-                       ("fcn_resnet50_int8", fcn_resnet50_int8_onnx(args.root)),
-                       ("fcn_resnet50_int8_nhwc", fcn_resnet50_int8_onnx(args.root)),
-                       ("lraspp_mnv3_int8", lraspp_q),
-                       ("lraspp_mnv3_int8_nhwc", lraspp_q),
-                       ("segformer_b0_int8", segformer_q)):
-        model = path if not isinstance(path, str) else load_model(path)
-        want = run_model(model, feed)["out"]
+    built = {}      # build-key -> model (quantize once per family)
+    oracle = {}     # build-key -> oracle "out" (minutes at 960x540; the
+    #                 plain and _nhwc rows share one run)
+    for name, key, thunk in (
+            ("fcn_resnet50_f32", "fcn_f32",
+             lambda: load_model(fcn_resnet50_onnx(args.root))),
+            ("fcn_resnet50_int8", "fcn_int8",
+             lambda: load_model(fcn_resnet50_int8_onnx(args.root))),
+            ("fcn_resnet50_int8_nhwc", "fcn_int8",
+             lambda: load_model(fcn_resnet50_int8_onnx(args.root))),
+            ("lraspp_mnv3_int8", "lraspp_int8", lraspp_q),
+            ("lraspp_mnv3_int8_nhwc", "lraspp_int8", lraspp_q),
+            ("segformer_b0_int8", "segformer_int8", segformer_q)):
+        if filters and not any(f in name for f in filters):
+            continue
+        if key not in built:
+            built[key] = thunk()
+        model = built[key]
+        if key not in oracle:
+            oracle[key] = run_model(model, feed)["out"]
+        want = oracle[key]
         if name.endswith("_nhwc"):  # the channels-last serving executor
             try:
                 exe = compile_qexec(model)
