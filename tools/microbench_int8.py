@@ -26,6 +26,13 @@ import time
 
 import numpy as np
 
+# Wedge guard: hard-exit before any external `timeout` could SIGTERM this
+# process mid-transfer (that is what wedges the relay — BENCH_NOTES.md).
+import threading as _threading
+_killer = _threading.Timer(1700.0, lambda: __import__("os")._exit(3))
+_killer.daemon = True
+_killer.start()
+
 B = 4          # frames per forward (bench.py uses 8; 4 keeps int8 HBM modest)
 H, W = 540, 960
 K_SPAN = 6     # extra in-execution forwards between the two timed points
