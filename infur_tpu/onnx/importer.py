@@ -779,12 +779,29 @@ def _jqlinear_add(attrs, a, a_scale, a_zp, b, b_scale, b_zp, y_scale, y_zp):
         # integer-only twin of oracle._qlinear_add_int — float QLinearAdd
         # is not platform-exact (XLA recomputes fused f32 subgraphs per
         # consumer with FMA/reassociation)
-        from .requant import decompose_multiplier, fixed_round_jnp
+        from .requant import (
+            ADD_GRID_BITS, add_rescale_jnp, decompose_add_rescale,
+            decompose_multiplier, fixed_round_jnp,
+        )
+        ma = np.float32(a_scale) / np.float32(y_scale)
+        mb = np.float32(b_scale) / np.float32(y_scale)
+        da, db = decompose_add_rescale(ma), decompose_add_rescale(mb)
+        if da is not None and db is not None:
+            # single-multiply 2**14-grid rescale; same branch condition as
+            # the oracle and the NHWC executor -> identical integers
+            G = ADD_GRID_BITS
+            ai = a.astype(jnp.int32) - jnp.asarray(a_zp, jnp.int32)
+            bi = b.astype(jnp.int32) - jnp.asarray(b_zp, jnp.int32)
+            ta = jnp.clip(add_rescale_jnp(ai, *da), -(1 << 29), 1 << 29)
+            tb = jnp.clip(add_rescale_jnp(bi, *db), -(1 << 29), 1 << 29)
+            y = ((ta + tb + jnp.int32(1 << (G - 1))) >> G) \
+                + jnp.asarray(y_zp, jnp.int32)
+            zp_dtype = np.asarray(y_zp).dtype
+            lo, hi = _jqminmax(zp_dtype)
+            return jnp.clip(y, lo, hi).astype(zp_dtype)
         try:
-            qa, sha = decompose_multiplier(
-                np.float32(a_scale) / np.float32(y_scale))
-            qb, shb = decompose_multiplier(
-                np.float32(b_scale) / np.float32(y_scale))
+            qa, sha = decompose_multiplier(ma)
+            qb, shb = decompose_multiplier(mb)
         except ValueError:
             qa = None
         if qa is not None:

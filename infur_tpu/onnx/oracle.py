@@ -885,10 +885,28 @@ def _qlinear_add_int(a, a_scale, a_zp, b, b_scale, b_zp, y_scale, y_zp):
         return None
     if any(np.size(v) > 1 for v in (a_scale, a_zp, b_scale, b_zp, y_scale, y_zp)):
         return None
-    from .requant import decompose_multiplier, fixed_round_ref
+    from .requant import (
+        ADD_GRID_BITS, add_rescale_ref, decompose_add_rescale,
+        decompose_multiplier, fixed_round_ref,
+    )
+    ma = np.float32(a_scale) / np.float32(y_scale)
+    mb = np.float32(b_scale) / np.float32(y_scale)
+    da, db = decompose_add_rescale(ma), decompose_add_rescale(mb)
+    if da is not None and db is not None:
+        # single-multiply rescale on the 2**14 grid (requant.py) — the
+        # importer and NHWC executor take this branch under the SAME
+        # host-side condition, so all three compute identical integers
+        G = ADD_GRID_BITS
+        ai = np.asarray(a).astype(np.int64) - np.int64(a_zp)
+        bi = np.asarray(b).astype(np.int64) - np.int64(b_zp)
+        ta = np.clip(add_rescale_ref(ai, *da), -(1 << 29), 1 << 29)
+        tb = np.clip(add_rescale_ref(bi, *db), -(1 << 29), 1 << 29)
+        y = ((ta + tb + (np.int64(1) << (G - 1))) >> G) + np.int64(y_zp)
+        lo, hi = _qminmax(np.asarray(y_zp).dtype)
+        return np.clip(y, lo, hi).astype(np.asarray(y_zp).dtype)
     try:
-        qa, sha = decompose_multiplier(np.float32(a_scale) / np.float32(y_scale))
-        qb, shb = decompose_multiplier(np.float32(b_scale) / np.float32(y_scale))
+        qa, sha = decompose_multiplier(ma)
+        qb, shb = decompose_multiplier(mb)
     except ValueError:
         return None
     L = _QADD_SHIFT

@@ -331,11 +331,34 @@ def compile_qexec(model_or_path: ModelProto | str | bytes, *,
             b_zp8 = int(_scalar(inits[ins[5]], "b_zp")) - 128
             y_s = _scalar(inits[ins[6]], "y_scale")
             y_zp8 = int(_scalar(inits[ins[7]], "y_zp")) - 128
+            ma = np.float32(a_s) / np.float32(y_s)
+            mb = np.float32(b_s) / np.float32(y_s)
+            from infur_tpu.onnx.requant import (
+                ADD_GRID_BITS, add_rescale_jnp, decompose_add_rescale,
+            )
+            da, db = decompose_add_rescale(ma), decompose_add_rescale(mb)
+            if da is not None and db is not None:
+                # single-int32-multiply rescale on the 2**14 grid — one
+                # multiply + shift per term (requant.py); the oracle and
+                # importer take this branch under the same condition.
+                # s8 rebase invariance: a8 - a_zp8 == a_u8 - a_zp.
+                G = ADD_GRID_BITS
+
+                def run(env, ins=ins, outs=outs, da=da, db=db,
+                        a_zp8=a_zp8, b_zp8=b_zp8, y_zp8=y_zp8):
+                    ta = jnp.clip(add_rescale_jnp(
+                        env[ins[0]].astype(jnp.int32) - a_zp8, *da),
+                        -(1 << 29), 1 << 29)
+                    tb = jnp.clip(add_rescale_jnp(
+                        env[ins[3]].astype(jnp.int32) - b_zp8, *db),
+                        -(1 << 29), 1 << 29)
+                    y = ((ta + tb + jnp.int32(1 << (G - 1))) >> G) \
+                        + jnp.int32(y_zp8)
+                    env[outs[0]] = jnp.clip(y, -128, 127).astype(jnp.int8)
+                return run
             try:
-                qa, sha = decompose_multiplier(
-                    np.float32(a_s) / np.float32(y_s))
-                qb, shb = decompose_multiplier(
-                    np.float32(b_s) / np.float32(y_s))
+                qa, sha = decompose_multiplier(ma)
+                qb, shb = decompose_multiplier(mb)
             except ValueError as e:
                 raise QExecUnsupported(f"QLinearAdd multiplier: {e}") from e
             # Oracle twin (_qlinear_add_int) with two exact

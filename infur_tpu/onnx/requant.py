@@ -33,10 +33,14 @@ import numpy as np
 
 __all__ = [
     "decompose_multiplier",
+    "decompose_add_rescale",
+    "add_rescale_ref",
+    "add_rescale_jnp",
     "fixed_round_ref",
     "fixed_round_jnp",
     "requant_ref",
     "requant_jnp",
+    "ADD_GRID_BITS",
 ]
 
 # Magnitudes are saturated here before the sign is applied: far above any
@@ -71,6 +75,77 @@ def decompose_multiplier(m) -> tuple[np.ndarray, np.ndarray]:
     if np.any(shift < 1) or np.any(shift > _MAX_SHIFT):
         raise ValueError(f"requant shift out of [1, {_MAX_SHIFT}]")
     return q.astype(np.int64), shift
+
+
+# --------------------------------------------------------------------------
+# QLinearAdd rescale: single-int32-multiply fast path
+#
+# The residual-add chain runs per element of every skip connection in the
+# quantized CNNs and was the int8 forward's top cost center even after the
+# shl20 specialization (BENCH_NOTES.md round 5).  Its input is tiny —
+# ``v = a8 - a_zp8`` has |v| <= 255 — so a 22-bit significand keeps the
+# whole product inside int32: ``|v * q22| < 2**9 * 2**22 = 2**31``.  Each
+# term becomes ONE 32-bit multiply + rounding add + arithmetic shift (vs
+# the shl20 chain's two multiplies + limb bookkeeping), landing on a
+# 2**14-step output grid:
+#
+#     ta = (v * q22 + 2**(e-1)) >> e          (round-half-up, floor shift)
+#     y  = ((ta + tb + 2**13) >> 14) + y_zp   (same rounding)
+#
+# Accuracy: q22 carries a 2**-22 relative error, so each term is within
+# ``0.5 + |v|*m*2**14*2**-22`` of the exact grid value — for |v| <= 255,
+# m <= 64 that is < 5 grid units = 3e-4 of ONE output step.  onnxruntime
+# itself computes QLinearAdd in f32, so any fixed-point scheme deviates
+# from it only at sub-ulp ties; the contract here (like the shl20 chain's)
+# is that oracle, importer and NHWC executor compute IDENTICAL integers.
+# Round-half-up (not half-away) everywhere: one add + one arithmetic
+# shift, no sign dance; NumPy's ``>>`` on negative int64 and XLA's
+# ``shift_right_arithmetic`` are both floor shifts, so the twins agree.
+# --------------------------------------------------------------------------
+
+ADD_GRID_BITS = 14  # sub-step precision of the add's fixed-point grid
+
+
+def decompose_add_rescale(m) -> tuple[int, int] | None:
+    """Decompose a positive scalar multiplier ``m`` as ``q22 / 2**e``
+    targeting the ``2**ADD_GRID_BITS`` grid: returns ``(q22, e)`` with
+    ``q22`` in ``[2**21, 2**22)`` and ``ta = round(v * m * 2**14)``
+    computed as ``(v*q22 + 2**(e-1)) >> e``.  None when ``e`` falls
+    outside [1, 31] (absurd scale ratios) — callers use the general
+    shl20 path instead.  Host-side, deterministic: every executor makes
+    the same choice.
+    """
+    m64 = float(np.asarray(m).reshape(()))
+    if not np.isfinite(m64) or m64 <= 0.0:
+        return None
+    mant, exp = np.frexp(np.float64(m64))  # m = mant * 2**exp
+    q22 = int(np.rint(mant * (1 << 22)))
+    e = 22 - exp - ADD_GRID_BITS  # q22/2**e == m * 2**14  (approx)
+    if q22 == (1 << 22):
+        q22 >>= 1
+        e -= 1
+    if not (1 <= e <= 31):
+        return None
+    return q22, int(e)
+
+
+def add_rescale_ref(v: np.ndarray, q22: int, e: int) -> np.ndarray:
+    """NumPy twin: ``(v * q22 + 2**(e-1)) >> e`` in int64 (values fit
+    int32 by construction; int64 only avoids NumPy overflow warnings)."""
+    v = np.asarray(v, np.int64)
+    return (v * np.int64(q22) + (np.int64(1) << (e - 1))) >> np.int64(e)
+
+
+def add_rescale_jnp(v, q22: int, e: int):
+    """JAX twin of :func:`add_rescale_ref` in pure int32 ops: |v| <= 255
+    and q22 < 2**22 keep ``v*q22 + 2**(e-1)`` inside int32; ``>>`` on a
+    signed int32 lowers to shift_right_arithmetic (floor), matching the
+    NumPy twin bit-for-bit (tests/test_requant.py pins the full domain).
+    """
+    import jax.numpy as jnp
+
+    v = jnp.asarray(v, jnp.int32)
+    return (v * jnp.int32(q22) + jnp.int32(1 << (e - 1))) >> jnp.int32(e)
 
 
 def fixed_round_ref(acc: np.ndarray, q, shift) -> np.ndarray:
