@@ -19,7 +19,9 @@ import numpy as np
 # Wedge guard: hard-exit before any external `timeout` could SIGTERM this
 # process mid-transfer (that is what wedges the relay — BENCH_NOTES.md).
 import threading as _threading
-_killer = _threading.Timer(1700.0, lambda: __import__("os")._exit(3))
+_killer = _threading.Timer(
+    float(os.environ.get("INFUR_PARITY_BUDGET_S", "1700")),
+    lambda: __import__("os")._exit(3))
 _killer.daemon = True
 _killer.start()
 
