@@ -69,6 +69,14 @@ class QExecUnsupported(Exception):
 # logical NCHW axis -> physical NHWC axis
 _TO_PHYS = {0: 0, 1: 3, 2: 1, 3: 2}
 
+
+def _pallas_1x1_mode() -> str:
+    """INFUR_QEXEC_PALLAS: 'auto' (default — fused Pallas GEMM for 1x1
+    convs on TPU, plain lax.conv elsewhere), '1' force-on (interpret mode
+    off-TPU, for tests), '0' off."""
+    import os
+    return os.environ.get("INFUR_QEXEC_PALLAS", "auto")
+
 # Host ops evaluated with the NumPy oracle at trace time (shape machinery:
 # Shape-driven Resize sizes etc.).  Their inputs must be host values.
 _HOST_OPS = {
@@ -301,6 +309,34 @@ def compile_qexec(model_or_path: ModelProto | str | bytes, *,
             kernel = (kh, kw)
             q4 = q.reshape(1, 1, 1, -1) if q.size > 1 else q
             sh4 = shift.reshape(1, 1, 1, -1) if shift.size > 1 else shift
+
+            # 1x1 channel-mixing convs (most of a ResNet bottleneck) fuse
+            # conv + requant in one VMEM round trip (ops/pallas_qgemm.py):
+            # no int32 accumulator tensor ever reaches HBM.  1x1 kernels
+            # have zero pads under every auto_pad mode, so the zp border
+            # correction vanishes and bit-exactness is purely the
+            # associativity of integer adds.
+            mode = _pallas_1x1_mode()
+            if (kernel == (1, 1) and groups == 1 and dils == (1, 1)
+                    and bool(np.all(np.asarray(shift) >= 33))
+                    and mode != "0"
+                    and (mode == "1" or jax.default_backend() != "cpu")):
+                from infur_tpu.ops.pallas_qgemm import qgemm_requant
+                w2d = np.ascontiguousarray(wt.reshape(ig, o))
+                interp = jax.default_backend() == "cpu"
+
+                def run(env, ins=ins, outs=outs, w2d=w2d, base=base,
+                        q=q, shift=shift, y_zp8=y_zp8, strides=strides,
+                        interp=interp):
+                    x8 = env[ins[0]]
+                    if strides != (1, 1):
+                        x8 = x8[:, ::strides[0], ::strides[1], :]
+                    n, hh, ww, c = (int(s) for s in x8.shape)
+                    y = qgemm_requant(
+                        x8.reshape(n * hh * ww, c), jnp.asarray(w2d),
+                        base, q, shift, y_zp8, interpret=interp)
+                    env[outs[0]] = y.reshape(n, hh, ww, w2d.shape[1])
+                return run
 
             def run(env, ins=ins, outs=outs, wt=wt, wk=wk, base=base,
                     q4=q4, sh4=sh4, y_zp8=y_zp8, x_zp8=x_zp8,

@@ -247,6 +247,38 @@ def fixed_round_shl20_jnp(v, q: np.ndarray, shift: np.ndarray):
     return jnp.where(neg, -res, res)
 
 
+def fixed_round_lanes_jnp(acc, q_u32, sh_i32):
+    """Traced-operand twin of :func:`fixed_round_jnp` for kernels whose
+    per-channel ``q``/``shift`` arrive as lane vectors (Pallas refs)
+    rather than host constants.  Requires every shift >= 33 — the caller
+    checks that on the host at build time (real conv requant shifts sit
+    at 33..45) and falls back to the host-constant path otherwise.  Same
+    integers as the NumPy reference (pinned in tests/test_requant.py).
+    """
+    import jax.numpy as jnp
+
+    acc = jnp.asarray(acc, jnp.int32)
+    a_u = acc.astype(jnp.uint32)
+    neg = acc < 0
+    mag = jnp.where(neg, jnp.uint32(0) - a_u, a_u)
+    q_u = jnp.asarray(q_u32, jnp.uint32)
+    b0 = q_u & jnp.uint32(0xFFFF)
+    b1 = q_u >> 16
+    a0 = mag & jnp.uint32(0xFFFF)
+    a1 = mag >> 16
+    lo_lo = a0 * b0
+    mid1 = a1 * b0
+    mid2 = a0 * b1
+    carry = ((lo_lo >> 16) + (mid1 & jnp.uint32(0xFFFF))
+             + (mid2 & jnp.uint32(0xFFFF))) >> 16
+    hi = a1 * b1 + (mid1 >> 16) + (mid2 >> 16) + carry
+    sh = jnp.asarray(sh_i32, jnp.int32)
+    r_hi = jnp.uint32(1) << (sh - 33).astype(jnp.uint32)
+    res = (hi + r_hi) >> (sh - 32).astype(jnp.uint32)
+    res = jnp.minimum(res, jnp.uint32(_MAG_SAT)).astype(jnp.int32)
+    return jnp.where(neg, -res, res)
+
+
 def _shift_round_u32(hi, lo, shift):
     """Shared rounding-shift tail of the uint32-limb mulhi: magnitude
     ``min(((hi*2**32 + lo) + 2**(shift-1)) >> shift, 2**30)``.  ``shift``

@@ -1,0 +1,99 @@
+"""Fused int8 GEMM + requant epilogue — the 1x1 QLinearConv fast path.
+
+Most of a ResNet bottleneck's convolutions are 1x1 (two per block, plus
+every downsample projection): channel-mixing matmuls in disguise.  The
+NHWC executor (onnx/qexec.py) lowers them to `lax.conv` + a separate
+requant fusion, which on TPU materializes the int32 accumulator tensor to
+HBM between the conv and the epilogue — 4 B written + 4 B read + 1 B
+written per element where the fused form writes 1 B once.  This kernel
+does the whole layer in one VMEM round trip:
+
+    s8 (M, K) @ s8 (K, O) -> i32 acc in VMEM            (MXU, int8 path)
+    acc += base[o]                                       (bias + zp terms)
+    y    = requant(acc, q[o], shift[o]) + y_zp           (onnx/requant.py)
+    out  = clip(y, -128, 127) -> s8 (M, O)               (one 1-byte write)
+
+Exactness: integer adds/multiplies are associative bit-for-bit, so any
+MXU tiling of the contraction produces the identical int32 accumulator,
+and the epilogue is the same fixed-point chain the oracle runs
+(requant_jnp works unchanged inside Pallas — uint32 vector ops).
+tests/test_pallas_ops.py pins kernel == lax-conv path == NumPy oracle.
+
+Geometry: M = N*H*W is padded to the 256-row tile; K (= C_in) and O
+(= C_out) are padded to the 128-lane tile.  FCN/LRASPP channel counts
+are multiples of 64, so padding costs at most 2x on the first layer-1
+convs (K=64) and nothing elsewhere.  Zero-padding is exact: padded K
+contributes 0 to the accumulator, padded M/O rows are sliced away.
+
+Reference analog: the reference's only conv backend is onnxruntime's
+CPU int8 kernels (/root/reference/infur/src/predict_onnx.rs:288-293);
+this is the TPU-native equivalent of MLAS's fused requant epilogue.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from infur_tpu.onnx.requant import fixed_round_lanes_jnp
+
+M_TILE = 256
+LANE = 128
+
+
+def _qgemm_kernel(x_ref, w_ref, base_ref, q_ref, sh_ref, out_ref, *,
+                  y_zp8: int):
+    acc = jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    acc = acc + base_ref[:]          # (1, O_tile) broadcast over rows
+    y = fixed_round_lanes_jnp(acc, q_ref[:], sh_ref[:]) + jnp.int32(y_zp8)
+    out_ref[:] = jnp.clip(y, -128, 127).astype(jnp.int8)
+
+
+@partial(jax.jit, static_argnames=("y_zp8", "interpret"))
+def qgemm_requant(x8: jax.Array, w8: jax.Array, base: jax.Array,
+                  q: jax.Array, shift: jax.Array, y_zp8: int,
+                  interpret: bool = False) -> jax.Array:
+    """``requant(x8 @ w8 + base) + y_zp8`` -> s8, fused in VMEM.
+
+    x8: (M, K) int8; w8: (K, O) int8; base: (O,) int32 (bias plus the
+    host-folded zero-point terms); q/shift: per-channel (O,) or scalar
+    requant constants from ``decompose_multiplier``.
+    """
+    m, k = x8.shape
+    k2, o = w8.shape
+    assert k == k2, (x8.shape, w8.shape)
+    mp = -(-m // M_TILE) * M_TILE
+    kp = -(-k // LANE) * LANE
+    op = -(-o // LANE) * LANE
+    x8 = jnp.pad(x8, ((0, mp - m), (0, kp - k)))
+    w8 = jnp.pad(w8, ((0, kp - k), (0, op - o)))
+    base = jnp.pad(jnp.asarray(base, jnp.int32).reshape(1, -1),
+                   ((0, 0), (0, op - o)))
+    qv = jnp.broadcast_to(jnp.asarray(q, jnp.int32).reshape(1, -1), (1, o))
+    sv = jnp.broadcast_to(jnp.asarray(shift, jnp.int32).reshape(1, -1),
+                          (1, o))
+    qv = jnp.pad(qv, ((0, 0), (0, op - o)), constant_values=1 << 30)
+    sv = jnp.pad(sv, ((0, 0), (0, op - o)), constant_values=33)
+
+    grid = (mp // M_TILE, op // LANE)
+    out = pl.pallas_call(
+        partial(_qgemm_kernel, y_zp8=int(y_zp8)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((M_TILE, kp), lambda i, j: (i, 0)),
+            pl.BlockSpec((kp, LANE), lambda i, j: (0, j)),
+            pl.BlockSpec((1, LANE), lambda i, j: (0, j)),
+            pl.BlockSpec((1, LANE), lambda i, j: (0, j)),
+            pl.BlockSpec((1, LANE), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((M_TILE, LANE), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, op), jnp.int8),
+        interpret=interpret,
+    )(x8, w8, base, qv, sv)
+    return out[:m, :o]

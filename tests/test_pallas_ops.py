@@ -1,6 +1,7 @@
 """Pallas kernels (interpret mode on CPU; hardware parity is driven by the
 verify recipe on the real chip)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -161,3 +162,71 @@ def test_segformer_flash_attention_end_to_end(rng):
     got = np.asarray(segformer_apply(params, x,
                                      attn_impl="flash_interpret")["out"])
     np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+
+class TestQGemmRequant:
+    """ops/pallas_qgemm.py: fused int8 GEMM + requant epilogue == the
+    NumPy fixed-point reference, including padding edges and per-channel
+    multipliers."""
+
+    def _case(self, rng, m, k, o, per_channel=True, y_zp8=3):
+        from infur_tpu.onnx.requant import decompose_multiplier, requant_ref
+        from infur_tpu.ops.pallas_qgemm import qgemm_requant
+
+        x8 = rng.integers(-128, 128, (m, k), dtype=np.int64)
+        w8 = rng.integers(-127, 128, (k, o), dtype=np.int64)
+        base = rng.integers(-2**20, 2**20, o, dtype=np.int64)
+        ms = 10.0 ** rng.uniform(-4.2, -2.5, o if per_channel else 1)
+        q, shift = decompose_multiplier(ms if per_channel else float(ms[0]))
+        assert np.all(shift >= 33)
+        acc = x8 @ w8 + base
+        want = requant_ref(acc, q.reshape(1, -1) if per_channel else q,
+                           shift.reshape(1, -1) if per_channel else shift,
+                           y_zp8, np.int8)
+        got = np.asarray(qgemm_requant(
+            jnp.asarray(x8, jnp.int8), jnp.asarray(w8, jnp.int8),
+            base.astype(np.int32), q, shift, y_zp8, interpret=True))
+        np.testing.assert_array_equal(got, want)
+
+    def test_aligned(self, rng):
+        self._case(rng, 256, 128, 128)
+
+    def test_ragged_everything(self, rng):
+        self._case(rng, 300, 70, 150)   # every axis padded
+
+    def test_scalar_multiplier(self, rng):
+        self._case(rng, 64, 64, 96, per_channel=False)
+
+    def test_large_accumulators(self, rng):
+        # adversarial: maximize |acc| toward int32 range via big K
+        self._case(rng, 32, 512, 64)
+
+
+def test_qexec_pallas_1x1_bit_exact(rng):
+    """compile_qexec with INFUR_QEXEC_PALLAS=1 (interpret on CPU) ==
+    the NumPy oracle on a bottleneck-like QLinear graph with 1x1 convs
+    (stride 1 and 2) around a 3x3."""
+    import os
+
+    import jax
+
+    from infur_tpu.models import init_fcn_resnet50
+    from infur_tpu.models.fcn_resnet50 import fcn_resnet50_to_onnx
+    from infur_tpu.onnx import run_model
+    from infur_tpu.onnx.passes import fold_batchnorm
+    from infur_tpu.onnx.quantize import quantize_static
+    from infur_tpu.onnx.qexec import compile_qexec
+
+    params = init_fcn_resnet50(jax.random.PRNGKey(0))
+    model = fold_batchnorm(fcn_resnet50_to_onnx(params, (32, 32)))
+    feed = {"input": rng.normal(size=(1, 3, 32, 32)).astype(np.float32)}
+    calib = [{"input": rng.normal(size=(1, 3, 32, 32)).astype(np.float32)}
+             for _ in range(2)]
+    qmodel = quantize_static(model, calib)
+    want = run_model(qmodel, feed)["out"]
+    os.environ["INFUR_QEXEC_PALLAS"] = "1"
+    try:
+        got = np.asarray(compile_qexec(qmodel)(feed)["out"])
+    finally:
+        os.environ["INFUR_QEXEC_PALLAS"] = "0"
+    np.testing.assert_array_equal(got, want)
