@@ -25,6 +25,12 @@ are multiples of 64, so padding costs at most 2x on the first layer-1
 convs (K=64) and nothing elsewhere.  Zero-padding is exact: padded K
 contributes 0 to the accumulator, padded M/O rows are sliced away.
 
+The grid runs over M only: the whole (K, O) weight plus its requant
+lanes stay VMEM-resident across the run (the largest FCN 1x1 weight is
+2048x1024 s8 = 2 MB), so weight HBM traffic is K*O bytes total instead
+of (M/M_TILE)*K*O — on the big-K layer-4 projections the per-step
+weight refetch would otherwise roughly double the layer's HBM time.
+
 Reference analog: the reference's only conv backend is onnxruntime's
 CPU int8 kernels (/root/reference/infur/src/predict_onnx.rs:288-293);
 this is the TPU-native equivalent of MLAS's fused requant epilogue.
@@ -81,18 +87,18 @@ def qgemm_requant(x8: jax.Array, w8: jax.Array, base: jax.Array,
     qv = jnp.pad(qv, ((0, 0), (0, op - o)), constant_values=1 << 30)
     sv = jnp.pad(sv, ((0, 0), (0, op - o)), constant_values=33)
 
-    grid = (mp // M_TILE, op // LANE)
+    grid = (mp // M_TILE,)
     out = pl.pallas_call(
         partial(_qgemm_kernel, y_zp8=int(y_zp8)),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((M_TILE, kp), lambda i, j: (i, 0)),
-            pl.BlockSpec((kp, LANE), lambda i, j: (0, j)),
-            pl.BlockSpec((1, LANE), lambda i, j: (0, j)),
-            pl.BlockSpec((1, LANE), lambda i, j: (0, j)),
-            pl.BlockSpec((1, LANE), lambda i, j: (0, j)),
+            pl.BlockSpec((M_TILE, kp), lambda i: (i, 0)),
+            pl.BlockSpec((kp, op), lambda i: (0, 0)),
+            pl.BlockSpec((1, op), lambda i: (0, 0)),
+            pl.BlockSpec((1, op), lambda i: (0, 0)),
+            pl.BlockSpec((1, op), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((M_TILE, LANE), lambda i, j: (i, j)),
+        out_specs=pl.BlockSpec((M_TILE, op), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((mp, op), jnp.int8),
         interpret=interpret,
     )(x8, w8, base, qv, sv)
