@@ -47,6 +47,8 @@ the generic importer, which runs everything.
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
@@ -336,6 +338,57 @@ def compile_qexec(model_or_path: ModelProto | str | bytes, *,
                         x8.reshape(n * hh * ww, c), jnp.asarray(w2d),
                         base, q, shift, y_zp8, interpret=interp)
                     env[outs[0]] = y.reshape(n, hh, ww, w2d.shape[1])
+                return run
+
+            # KxK convs (K>1, groups=1) as im2col + the same fused Pallas
+            # GEMM (gated: INFUR_QEXEC_PALLAS3=1/auto).  Padding the input
+            # with x_zp8 makes the folded `base = -x_zp*sum(w) + bias`
+            # term exact at EVERY output position (padded pixels carry
+            # exactly the zero-point, so their (x - zp) contribution is
+            # zero) — no border correction needed; bit-exactness is again
+            # integer-add associativity.  C_in >= 64 skips the 7x7 stem
+            # (its im2col M blow-up at /2 resolution costs more HBM than
+            # the conv is worth).
+            mode3 = os.environ.get("INFUR_QEXEC_PALLAS3", "0")
+            if (kernel != (1, 1) and groups == 1 and ig >= 64
+                    and bool(np.all(np.asarray(shift) >= 33))
+                    and mode3 != "0"
+                    and (mode3 == "1" or jax.default_backend() != "cpu")):
+                from infur_tpu.ops.pallas_qgemm import qgemm_requant
+                w2d = np.ascontiguousarray(wt.reshape(kh * kw * ig, o))
+                interp = jax.default_backend() == "cpu"
+
+                def run(env, ins=ins, outs=outs, w2d=w2d, base=base,
+                        q=q, shift=shift, y_zp8=y_zp8, x_zp8=x_zp8,
+                        strides=strides, dils=dils, kernel=kernel,
+                        attrs=attrs, interp=interp):
+                    x8 = env[ins[0]]
+                    n, hh, ww, c = (int(s) for s in x8.shape)
+                    kh, kw = kernel
+                    pads = oracle.resolve_pads(
+                        attrs, (hh, ww), kernel, strides, dils)
+                    xp = jnp.pad(
+                        x8, ((0, 0), pads[0], pads[1], (0, 0)),
+                        constant_values=np.int8(x_zp8))
+                    ho = ((hh + pads[0][0] + pads[0][1]
+                           - (kh - 1) * dils[0] - 1) // strides[0] + 1)
+                    wo = ((ww + pads[1][0] + pads[1][1]
+                           - (kw - 1) * dils[1] - 1) // strides[1] + 1)
+                    taps = [
+                        lax.slice(
+                            xp,
+                            (0, ky * dils[0], kx * dils[1], 0),
+                            (n, ky * dils[0] + (ho - 1) * strides[0] + 1,
+                             kx * dils[1] + (wo - 1) * strides[1] + 1, c),
+                            (1, strides[0], strides[1], 1))
+                        for ky in range(kh) for kx in range(kw)]
+                    # concat order [ky][kx][c] matches wt(KH,KW,I,O) flat
+                    xcol = jnp.concatenate(taps, axis=-1)
+                    y = qgemm_requant(
+                        xcol.reshape(n * ho * wo, kh * kw * c),
+                        jnp.asarray(w2d), base, q, shift, y_zp8,
+                        interpret=interp)
+                    env[outs[0]] = y.reshape(n, ho, wo, w2d.shape[1])
                 return run
 
             def run(env, ins=ins, outs=outs, wt=wt, wk=wk, base=base,

@@ -44,11 +44,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from infur_tpu.onnx.requant import fixed_round_lanes_jnp
 
 M_TILE = 256
 LANE = 128
+# largest K carried as ONE VMEM block; beyond this the grid adds a K axis
+# with an int32 scratch accumulator (the FCN head's im2col K = 9*2048
+# would otherwise need a 9.4 MB weight block + 4.7 MB x block, past the
+# double-buffered VMEM budget).
+K_BLOCK_MAX = 4608
 
 
 def _qgemm_kernel(x_ref, w_ref, base_ref, q_ref, sh_ref, out_ref, *,
@@ -59,6 +65,30 @@ def _qgemm_kernel(x_ref, w_ref, base_ref, q_ref, sh_ref, out_ref, *,
     acc = acc + base_ref[:]          # (1, O_tile) broadcast over rows
     y = fixed_round_lanes_jnp(acc, q_ref[:], sh_ref[:]) + jnp.int32(y_zp8)
     out_ref[:] = jnp.clip(y, -128, 127).astype(jnp.int8)
+
+
+def _qgemm_kernel_ksplit(x_ref, w_ref, base_ref, q_ref, sh_ref, out_ref,
+                         acc_ref, *, y_zp8: int, k_steps: int):
+    """K-tiled variant: partial products accumulate in an int32 VMEM
+    scratch across the (innermost) K grid axis; the requant epilogue runs
+    on the last K step.  Integer adds are associative, so the split is
+    bit-exact vs the single-block kernel."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    @pl.when(k == k_steps - 1)
+    def _epilogue():
+        acc = acc_ref[:] + base_ref[:]
+        y = (fixed_round_lanes_jnp(acc, q_ref[:], sh_ref[:])
+             + jnp.int32(y_zp8))
+        out_ref[:] = jnp.clip(y, -128, 127).astype(jnp.int8)
 
 
 @partial(jax.jit, static_argnames=("y_zp8", "interpret"))
@@ -87,19 +117,44 @@ def qgemm_requant(x8: jax.Array, w8: jax.Array, base: jax.Array,
     qv = jnp.pad(qv, ((0, 0), (0, op - o)), constant_values=1 << 30)
     sv = jnp.pad(sv, ((0, 0), (0, op - o)), constant_values=33)
 
-    grid = (mp // M_TILE,)
+    if kp <= K_BLOCK_MAX:
+        out = pl.pallas_call(
+            partial(_qgemm_kernel, y_zp8=int(y_zp8)),
+            grid=(mp // M_TILE,),
+            in_specs=[
+                pl.BlockSpec((M_TILE, kp), lambda i: (i, 0)),
+                pl.BlockSpec((kp, op), lambda i: (0, 0)),
+                pl.BlockSpec((1, op), lambda i: (0, 0)),
+                pl.BlockSpec((1, op), lambda i: (0, 0)),
+                pl.BlockSpec((1, op), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((M_TILE, op), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((mp, op), jnp.int8),
+            interpret=interpret,
+        )(x8, w8, base, qv, sv)
+        return out[:m, :o]
+
+    # K-tiled path (huge contractions, e.g. im2col'd 3x3 over 2048 ch):
+    # innermost grid axis walks K blocks, scratch accumulator in VMEM.
+    k_tile = K_BLOCK_MAX // 2
+    ks = -(-kp // k_tile)
+    kp2 = ks * k_tile
+    if kp2 != kp:
+        x8 = jnp.pad(x8, ((0, 0), (0, kp2 - kp)))
+        w8 = jnp.pad(w8, ((0, kp2 - kp), (0, 0)))
     out = pl.pallas_call(
-        partial(_qgemm_kernel, y_zp8=int(y_zp8)),
-        grid=grid,
+        partial(_qgemm_kernel_ksplit, y_zp8=int(y_zp8), k_steps=ks),
+        grid=(mp // M_TILE, ks),
         in_specs=[
-            pl.BlockSpec((M_TILE, kp), lambda i: (i, 0)),
-            pl.BlockSpec((kp, op), lambda i: (0, 0)),
-            pl.BlockSpec((1, op), lambda i: (0, 0)),
-            pl.BlockSpec((1, op), lambda i: (0, 0)),
-            pl.BlockSpec((1, op), lambda i: (0, 0)),
+            pl.BlockSpec((M_TILE, k_tile), lambda i, k: (i, k)),
+            pl.BlockSpec((k_tile, op), lambda i, k: (k, 0)),
+            pl.BlockSpec((1, op), lambda i, k: (0, 0)),
+            pl.BlockSpec((1, op), lambda i, k: (0, 0)),
+            pl.BlockSpec((1, op), lambda i, k: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((M_TILE, op), lambda i: (i, 0)),
+        out_specs=pl.BlockSpec((M_TILE, op), lambda i, k: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((mp, op), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((M_TILE, op), jnp.int32)],
         interpret=interpret,
     )(x8, w8, base, qv, sv)
     return out[:m, :o]

@@ -230,3 +230,68 @@ def test_qexec_pallas_1x1_bit_exact(rng):
     finally:
         os.environ["INFUR_QEXEC_PALLAS"] = "0"
     np.testing.assert_array_equal(got, want)
+
+
+def test_qgemm_ksplit_bit_exact(rng):
+    """K > K_BLOCK_MAX routes through the K-tiled scratch-accumulator
+    kernel; integer adds are associative so the split must be
+    bit-exact vs the NumPy fixed-point reference."""
+    from infur_tpu.onnx.requant import decompose_multiplier, requant_ref
+    from infur_tpu.ops import pallas_qgemm as PQ
+
+    m, k, o = 64, PQ.K_BLOCK_MAX + 300, 96  # forces the ksplit grid
+    x8 = rng.integers(-128, 128, (m, k), dtype=np.int64)
+    w8 = rng.integers(-127, 128, (k, o), dtype=np.int64)
+    base = rng.integers(-2**20, 2**20, o, dtype=np.int64)
+    q, shift = decompose_multiplier(10.0 ** rng.uniform(-4.5, -3.5, o))
+    assert np.all(shift >= 33)
+    want = requant_ref(x8 @ w8 + base, q.reshape(1, -1),
+                       shift.reshape(1, -1), -5, np.int8)
+    got = np.asarray(PQ.qgemm_requant(
+        jnp.asarray(x8, jnp.int8), jnp.asarray(w8, jnp.int8),
+        base.astype(np.int32), q, shift, -5, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_qexec_pallas_3x3_bit_exact(rng):
+    """INFUR_QEXEC_PALLAS3=1 routes KxK convs (stride/dilation/asymmetric
+    pads included) through im2col + the fused GEMM; the zp-padded input
+    makes the folded base term exact at the borders.  Must equal the
+    NumPy oracle bit-for-bit."""
+    import os
+
+    from infur_tpu.onnx import GraphBuilder, run_model
+    from infur_tpu.onnx.qexec import compile_qexec
+    from infur_tpu.onnx.quantize import quantize_static
+
+    rng_w = np.random.default_rng(7)
+    g = GraphBuilder("net3")
+    x = g.input("input", np.float32, (1, 64, 12, 14))
+    w1 = g.init("w1", rng_w.normal(size=(64, 64, 3, 3))
+                .astype(np.float32) * 0.1)
+    y = g.node("Conv", [x, w1], pads=[1, 1, 1, 1])
+    y = g.node("Relu", [y])
+    w2 = g.init("w2", rng_w.normal(size=(96, 64, 3, 3))
+                .astype(np.float32) * 0.1)
+    y = g.node("Conv", [y, w2], pads=[2, 2, 2, 2], dilations=[2, 2])
+    y = g.node("Relu", [y])
+    w3 = g.init("w3", rng_w.normal(size=(64, 96, 3, 3))
+                .astype(np.float32) * 0.1)
+    y = g.node("Conv", [y, w3], pads=[1, 1, 1, 1], strides=[2, 2])
+    g.output(y, np.float32, (1, 64, 6, 7))
+    model = g.model()
+
+    feed = {"input": rng.normal(size=(1, 64, 12, 14)).astype(np.float32)}
+    calib = [{"input": rng.normal(size=(1, 64, 12, 14)).astype(np.float32)}
+             for _ in range(2)]
+    qmodel = quantize_static(model, calib)
+    out_name = model.graph.output[0].name
+    want = run_model(qmodel, feed)[out_name]
+    os.environ["INFUR_QEXEC_PALLAS3"] = "1"
+    os.environ["INFUR_QEXEC_PALLAS"] = "1"
+    try:
+        got = np.asarray(compile_qexec(qmodel)(feed)[out_name])
+    finally:
+        os.environ["INFUR_QEXEC_PALLAS3"] = "0"
+        os.environ["INFUR_QEXEC_PALLAS"] = "0"
+    np.testing.assert_array_equal(got, want)
