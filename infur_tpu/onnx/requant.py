@@ -275,7 +275,11 @@ def fixed_round_lanes_jnp(acc, q_u32, sh_i32):
     sh = jnp.asarray(sh_i32, jnp.int32)
     r_hi = jnp.uint32(1) << (sh - 33).astype(jnp.uint32)
     res = (hi + r_hi) >> (sh - 32).astype(jnp.uint32)
-    res = jnp.minimum(res, jnp.uint32(_MAG_SAT)).astype(jnp.int32)
+    # saturate via SIGNED min: Mosaic has no unsigned min (arith.minui
+    # fails to legalize on TPU), and res < 2**31 always (hi < 2**30,
+    # r_hi <= 2**30, then >> >= 1), so the int32 reinterpret is nonneg
+    # and signed/unsigned min agree bit-for-bit.
+    res = jnp.minimum(res.astype(jnp.int32), jnp.int32(_MAG_SAT))
     return jnp.where(neg, -res, res)
 
 
