@@ -399,6 +399,21 @@ def compile_qexec(model_or_path: ModelProto | str | bytes, *,
                 pads = oracle.resolve_pads(
                     attrs, (int(x8.shape[1]), int(x8.shape[2])),
                     kernel, strides, dils)
+                if x_zp8 != 0 and any(p != (0, 0) for p in pads):
+                    # Pad the input with the zero-point and conv VALID:
+                    # padded taps then contribute exactly (zp - zp) = 0,
+                    # so the host-folded `base = bias - zp*K0` is correct
+                    # at EVERY output position.  The alternative — edge
+                    # `.at[].add` corrections on the accumulator — puts
+                    # dynamic-update-slices between the conv and its
+                    # requant epilogue, which blocks XLA's output fusion
+                    # and forces the full int32 accumulator through HBM
+                    # (measured ~1.9x on the whole int8 FCN, BENCH_NOTES
+                    # 2026-08-19).  One s8 pad copy is ~100x cheaper.
+                    x8 = jnp.pad(
+                        x8, ((0, 0), pads[0], pads[1], (0, 0)),
+                        constant_values=np.int8(x_zp8))
+                    pads = [(0, 0), (0, 0)]
                 dn = lax.conv_dimension_numbers(
                     x8.shape, wt.shape, ("NHWC", "HWIO", "NHWC"))
                 acc = lax.conv_general_dilated(
@@ -407,6 +422,8 @@ def compile_qexec(model_or_path: ModelProto | str | bytes, *,
                     feature_group_count=groups,
                     preferred_element_type=jnp.int32)
                 acc = acc + jnp.asarray(base)
+                # no-op after the zp-pad branch (pads are now all zero);
+                # kept for the x_zp8 == 0 fast path's documentation value
                 acc = _apply_zp_correction(
                     acc, wk, x_zp8, strides, pads, dils,
                     (int(x8.shape[1]), int(x8.shape[2])))
