@@ -73,11 +73,16 @@ _TO_PHYS = {0: 0, 1: 3, 2: 1, 3: 2}
 
 
 def _pallas_1x1_mode() -> str:
-    """INFUR_QEXEC_PALLAS: 'auto' (default — fused Pallas GEMM for 1x1
-    convs on TPU, plain lax.conv elsewhere), '1' force-on (interpret mode
-    off-TPU, for tests), '0' off."""
+    """INFUR_QEXEC_PALLAS: '0' (default) keeps 1x1 QLinearConvs on
+    lax.conv; '1' routes them through the fused Pallas GEMM
+    (ops/pallas_qgemm.py, interpret mode off-TPU).  Default is OFF after
+    the 2026-08-19 on-chip A/B: XLA's int8 conv + fused requant epilogue
+    beat the Pallas kernel 5.9 vs 14.5 ms/frame on the whole FCN —
+    Mosaic's s8 dot does not reach the MXU int8 rate (the kernel
+    measured ~24% of int8 peak standalone).  The kernel stays as a
+    tested experimental opt (BENCH_NOTES.md, round 5)."""
     import os
-    return os.environ.get("INFUR_QEXEC_PALLAS", "auto")
+    return os.environ.get("INFUR_QEXEC_PALLAS", "0")
 
 # Host ops evaluated with the NumPy oracle at trace time (shape machinery:
 # Shape-driven Resize sizes etc.).  Their inputs must be host values.

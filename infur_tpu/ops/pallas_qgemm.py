@@ -34,6 +34,15 @@ weight refetch would otherwise roughly double the layer's HBM time.
 Reference analog: the reference's only conv backend is onnxruntime's
 CPU int8 kernels (/root/reference/infur/src/predict_onnx.rs:288-293);
 this is the TPU-native equivalent of MLAS's fused requant epilogue.
+
+HONEST OUTCOME (on-chip A/B, 2026-08-19, BENCH_NOTES.md): XLA's own
+int8 lax.conv + fused requant beats this kernel decisively on the whole
+FCN (5.9 vs 14.5 ms/frame) — Mosaic's s8 dot_general does not reach the
+MXU int8 rate (~24% of int8 peak standalone, vs XLA conv's ~60-100%).
+The kernel is kept as a tested experimental opt behind
+INFUR_QEXEC_PALLAS/_PALLAS3 (default off); the production fusion fix
+that actually landed is the zero-point-pad + VALID conv in qexec.py,
+which removes the fusion-blocking edge corrections at the XLA level.
 """
 
 from __future__ import annotations
