@@ -44,14 +44,17 @@ PEAK_BF16_TFLOPS = 197.0   # v5e MXU bf16 peak (BENCH assumptions)
 PEAK_HBM_GBPS = 819.0      # v5e HBM bandwidth
 
 
-def _slope_ms(run, k_lo: int, k_hi: int, reps: int = 3) -> float:
+def _slope_ms(run, k_lo: int, k_hi: int, reps: int = 5) -> float:
+    """min-of-reps: a single relay stall inflates one sample by seconds,
+    which a 3-rep median cannot reject (negative slopes measured in a
+    degraded window, round 5) — min is the stall-robust statistic."""
     def timed(k: int) -> float:
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
             float(np.asarray(run(k)))   # host read observes completion
             ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
+        return float(min(ts))
     return (timed(k_hi) - timed(k_lo)) / (k_hi - k_lo) * 1e3
 
 

@@ -33,14 +33,19 @@ N_SEGMENTS = 8
 FIXTURES = os.environ.get("INFUR_FIXTURES", "/tmp/infur_fixtures")
 
 
-def _slope_ms(run, k_lo: int, k_hi: int, reps: int = 3) -> float:
+def _slope_ms(run, k_lo: int, k_hi: int, reps: int = 5) -> float:
+    """min-of-reps slope: a single relay stall inflates a sample by
+    SECONDS (D2 round-5 measured negative slopes off a 3-rep median in a
+    degraded window) — the minimum is the only stall-robust statistic,
+    and the K-slope still cancels the fixed dispatch cost because the
+    best-case roundtrip is the same at both K points."""
     def timed(k: int) -> float:
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
             float(np.asarray(run(k)))
             ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
+        return float(min(ts))
     return (timed(k_hi) - timed(k_lo)) / (k_hi - k_lo) * 1e3
 
 
@@ -111,6 +116,9 @@ def main() -> int:
         float(np.asarray(scan_run(1)))
         float(np.asarray(scan_run(1 + K_SPAN)))
         ms = _slope_ms(scan_run, 1, 1 + K_SPAN)
+        if ms < prev_ms:  # non-monotonic cumulative prefix = window noise
+            ms2 = _slope_ms(scan_run, 1, 1 + K_SPAN)
+            ms = max(ms, ms2)
         seg_ops = Counter(nd.op_type for nd in
                           steps[0 if ci == 0 else cuts[ci - 1]:cut])
         row = {"cut": cut, "cum_ms_batch": round(ms, 2),
