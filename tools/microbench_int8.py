@@ -33,7 +33,11 @@ _killer = _threading.Timer(1700.0, lambda: __import__("os")._exit(3))
 _killer.daemon = True
 _killer.start()
 
-B = 4          # frames per forward (bench.py uses 8; 4 keeps int8 HBM modest)
+# frames per forward (bench.py uses 8; 4 keeps int8 HBM modest).  Override
+# with INFUR_MB_BATCH=8 to measure at the bench's batch shape — round 5's
+# F1 run showed an int8 end-to-end batch cost the batch-4 device numbers
+# don't explain, so batch scaling itself needs a row.
+B = int(os.environ.get("INFUR_MB_BATCH", "4"))
 H, W = 540, 960
 K_SPAN = 6     # extra in-execution forwards between the two timed points
 FIXTURES = os.environ.get("INFUR_FIXTURES", "/tmp/infur_fixtures")
