@@ -1215,22 +1215,40 @@ def main() -> int:
                                                 jax.device_put(sm1))))
             ilat = []
             q: deque = deque()
+            # per-stage wall accounting (stderr when INFUR_BENCH_TIMING=1):
+            # where does an interactive frame actually go — host decode,
+            # dispatch (pack + device_put + enqueue), or the blocking
+            # fetch+composite?  All three are serialized on this thread
+            # (same-thread-fetch discipline, BENCH_NOTES hazard b).
+            istage = {"host": 0.0, "dispatch": 0.0, "drain": 0.0}
 
             def drain_one():
                 p_t0, p_f1, p_outs = q.popleft()
+                t0 = time.perf_counter()
                 composite(p_f1, fetch_host(p_outs))
+                istage["drain"] += time.perf_counter() - t0
                 ilat.append((time.perf_counter() - p_t0) * 1e3)
 
             t_run = time.perf_counter()
             for _ in range(INTERACTIVE_FRAMES):
                 t0 = time.perf_counter()
                 f1 = host_stage(0, batch=1)
+                t1 = time.perf_counter()
+                istage["host"] += t1 - t0
                 q.append((t0, f1, step_one(f1)))
+                istage["dispatch"] += time.perf_counter() - t1
                 if len(q) >= idepth:
                     drain_one()
             while q:
                 drain_one()
             total_s = time.perf_counter() - t_run
+            _extra["interactive_stage_ms"] = {
+                k: round(v * 1e3 / INTERACTIVE_FRAMES, 2)
+                for k, v in istage.items()}
+            if TIMING:
+                print(f"bench: interactive stages ms/frame "
+                      f"{_extra['interactive_stage_ms']}",
+                      file=sys.stderr, flush=True)
             _extra["frame_latency_interactive_p50_ms"] = round(
                 float(np.percentile(ilat, 50)), 1)
             _extra["frame_latency_interactive_p99_ms"] = round(
