@@ -175,6 +175,18 @@ DTYPE = os.environ.get("INFUR_BENCH_DTYPE", "bf16")
 if DTYPE not in ("bf16", "f32", "int8"):
     raise SystemExit(f"INFUR_BENCH_DTYPE must be bf16|f32|int8, got {DTYPE!r}")
 INTERACTIVE_DEPTH = int(os.environ.get("INFUR_BENCH_INTERACTIVE_DEPTH", "2"))
+# overlap the interactive drain (fetch + composite) with the next frame's
+# host decode + dispatch on a single worker thread — the throughput path
+# already proves pool-thread fetches work through the relay (fetch_pool);
+# serialized mode (=0) keeps everything on one thread as rounds 1-4 did
+INTERACTIVE_OVERLAP = os.environ.get(
+    "INFUR_BENCH_INTERACTIVE_OVERLAP", "1") == "1"
+# concurrent drain workers: the F3 stage breakdown measured drain (fetch
+# roundtrip) at 38 ms/frame vs 3 ms host+dispatch — the relay's ~29 ms
+# roundtrip is the serialized-fetch fps floor (1/38 ~= 26 fps), so >= 2
+# in-flight fetches are required to clear 30 fps.  Keep depth >= workers+1.
+INTERACTIVE_WORKERS = max(1, int(os.environ.get(
+    "INFUR_BENCH_INTERACTIVE_WORKERS", "2")))
 DELTA_CHUNK = 64  # dirty-chunk granularity (bytes of the flat I420 buffer)
 DELTA_CAP = int(os.environ.get("INFUR_BENCH_DELTA_CAP", "384"))  # chunks/frame
 KEY_CAP = int(os.environ.get("INFUR_BENCH_KEY_CAP", "512"))  # base-vs-key cap
@@ -1195,6 +1207,12 @@ def main() -> int:
         # wall-clock fps of the whole phase.
         try:
             idepth = max(1, INTERACTIVE_DEPTH)
+            iworkers = 1
+            if INTERACTIVE_OVERLAP:
+                # workers concurrent fetches need workers+1 slots so the
+                # main thread can keep dispatching while all drain
+                iworkers = INTERACTIVE_WORKERS
+                idepth = max(idepth, iworkers + 1)
             use_ikeyed = use_keyed  # the throughput key transfers
 
             def step_one(f1: np.ndarray):
@@ -1222,12 +1240,21 @@ def main() -> int:
             # (same-thread-fetch discipline, BENCH_NOTES hazard b).
             istage = {"host": 0.0, "dispatch": 0.0, "drain": 0.0}
 
-            def drain_one():
-                p_t0, p_f1, p_outs = q.popleft()
+            _ilock = threading.Lock()
+
+            def _drain(p_t0, p_f1, p_outs):
                 t0 = time.perf_counter()
                 composite(p_f1, fetch_host(p_outs))
-                istage["drain"] += time.perf_counter() - t0
-                ilat.append((time.perf_counter() - p_t0) * 1e3)
+                t1 = time.perf_counter()
+                with _ilock:  # >1 workers: keep the accounting exact
+                    istage["drain"] += t1 - t0
+                    ilat.append((t1 - p_t0) * 1e3)
+
+            def drain_one():
+                _drain(*q.popleft())
+
+            ipool = (ThreadPoolExecutor(iworkers)
+                     if INTERACTIVE_OVERLAP else None)
 
             t_run = time.perf_counter()
             for _ in range(INTERACTIVE_FRAMES):
@@ -1235,12 +1262,23 @@ def main() -> int:
                 f1 = host_stage(0, batch=1)
                 t1 = time.perf_counter()
                 istage["host"] += t1 - t0
-                q.append((t0, f1, step_one(f1)))
+                outs = step_one(f1)
                 istage["dispatch"] += time.perf_counter() - t1
-                if len(q) >= idepth:
-                    drain_one()
+                if ipool is not None:
+                    # one worker serializes the fetches in frame order;
+                    # frame N-1's fetch+composite rides under frame N's
+                    # decode+dispatch instead of blocking it
+                    q.append(ipool.submit(_drain, t0, f1, outs))
+                    if len(q) >= idepth:
+                        q.popleft().result()
+                else:
+                    q.append((t0, f1, outs))
+                    if len(q) >= idepth:
+                        drain_one()
             while q:
-                drain_one()
+                (q.popleft().result() if ipool is not None else drain_one())
+            if ipool is not None:
+                ipool.shutdown(wait=True)
             total_s = time.perf_counter() - t_run
             _extra["interactive_stage_ms"] = {
                 k: round(v * 1e3 / INTERACTIVE_FRAMES, 2)
@@ -1256,6 +1294,8 @@ def main() -> int:
             _extra["interactive_fps"] = round(
                 INTERACTIVE_FRAMES / total_s, 2)
             _extra["interactive_depth"] = idepth
+            _extra["interactive_overlap"] = bool(ipool is not None)
+            _extra["interactive_workers"] = iworkers
             _extra["interactive_ingest"] = ("keyed" if use_ikeyed
                                             else "dense")
             _write_partial()
