@@ -19,8 +19,11 @@ there is no disconnect signal, so hangup is modeled with ``None`` sentinels.
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Any
 
@@ -32,6 +35,17 @@ FrameResult = Any
 CtrlResult = Any
 
 FRAME_CHANNEL_DEPTH = 2  # the reference's sync_channel(2) (main.rs:105)
+
+# Proc pipeline depth: frames in flight between dispatch (generate) and
+# delivery.  At depth N-1 materializations (D2H fetch + host decode of the
+# wire payload) ride on worker threads UNDER the next frame's decode +
+# dispatch, the pattern the bench's interactive phase proved on the real
+# chip (46.7 fps with 2 drain workers vs 17.8 fully synchronous —
+# BENCH_NOTES.md round 5).  Depth 1 restores the fully synchronous
+# dispatch-then-fetch-on-this-thread loop of rounds 1-4.  Delivery order,
+# backpressure (the bounded frame channel is still fed from the proc
+# thread), and errors-as-values semantics are unchanged.
+PROC_PIPELINE_DEPTH = max(1, int(os.environ.get("INFUR_PROC_PIPELINE", "2")))
 
 
 def _materialize(frame: GUIFrame, planes: frozenset) -> None:
@@ -107,6 +121,35 @@ def proc_loop(ctrl_rx: "queue.Queue[AppCmd | None]",
     app.status_cb = app_tx.put
     state_change = True  # announce initial state
     last_playing: bool | None = None
+
+    # -- frame pipeline (see PROC_PIPELINE_DEPTH) --
+    depth = PROC_PIPELINE_DEPTH
+    pool = ThreadPoolExecutor(depth - 1, thread_name_prefix="ProcDrain") \
+        if depth > 1 else None
+    futs: deque = deque()
+
+    def _mat_job(frame: GUIFrame, planes: frozenset):
+        """Worker-side materialization; errors stay values.  ``planes`` is
+        captured at dispatch time so a plane-set command that lands while
+        this frame is in flight cannot change what it materializes."""
+        try:
+            _materialize(frame, planes)
+            return frame
+        except InfurError as e:
+            return e
+        except Exception as e:
+            return InfurError(f"{type(e).__name__}: {e}")
+
+    def _deliver_one() -> None:
+        # fut.result() never raises (_mat_job returns errors as values);
+        # the blocking put keeps the reference's capacity-2 backpressure
+        # anchored to THIS thread (main.rs:86-88)
+        frame_tx.put(futs.popleft().result())
+
+    def _flush() -> None:
+        while futs:
+            _deliver_one()
+
     try:
         while not app.to_exit:
             if state_change:
@@ -118,6 +161,7 @@ def proc_loop(ctrl_rx: "queue.Queue[AppCmd | None]",
             # -- command intake: blocking when clean, draining when dirty --
             cmds: list[AppCmd] = []
             if not app.is_dirty():
+                _flush()  # deliver in-flight frames before going idle
                 cmd = ctrl_rx.get()
                 if cmd is None:
                     return
@@ -157,16 +201,27 @@ def proc_loop(ctrl_rx: "queue.Queue[AppCmd | None]",
             try:
                 with device_lock:
                     frame = app.generate()
-                    if frame is not None:
+                    if frame is not None and pool is None:
                         _materialize(frame, app.planes)
             except InfurError as e:
+                _flush()  # keep delivery ordered ahead of the error
                 frame_tx.put(e)
                 continue
             except Exception as e:  # unexpected: surface, keep the loop alive
+                _flush()
                 frame_tx.put(InfurError(f"{type(e).__name__}: {e}"))
                 continue
             if frame is not None:
-                frame_tx.put(frame)  # blocks on backpressure (main.rs:86-88)
+                if pool is not None:
+                    # pipelined: the fetch+decode of THIS frame rides under
+                    # the NEXT frame's decode+dispatch (bench-proven relay
+                    # pattern: paced dispatches + worker fetches coexist;
+                    # the devlock starvation repro was an unpaced producer)
+                    futs.append(pool.submit(_mat_job, frame, app.planes))
+                    while len(futs) >= depth:
+                        _deliver_one()
+                else:
+                    frame_tx.put(frame)  # blocks on backpressure (main.rs:86-88)
 
             # EOF isn't a command, but frontends need to see playing flip
             playing = app.vid.geometry is not None
@@ -174,6 +229,18 @@ def proc_loop(ctrl_rx: "queue.Queue[AppCmd | None]",
                 last_playing = playing
                 app_tx.put(app.info())
     finally:
+        # best-effort delivery of in-flight frames; lossy (put_nowait) so a
+        # consumer that already went away can never strand this thread on
+        # the bounded channel during exit
+        while futs:
+            try:
+                frame_tx.put_nowait(futs.popleft().result())
+            except queue.Full:
+                futs.clear()
+            except Exception:
+                break
+        if pool is not None:
+            pool.shutdown(wait=False)
         try:
             app.close()
         except Exception:
