@@ -974,19 +974,28 @@ def main() -> int:
         finally:
             gc.enable()
 
-    def _run_round_inner() -> float:
+    def _run_round_inner(stage_ms: dict | None = None) -> float:
         t_round = time.perf_counter()
         inflight: deque = deque()
         finishes: deque = deque()
         n_frames = 0
+        # steady-state per-batch stage accounting (VERDICT r4 #2 followup:
+        # the isolated decomposition can't see what serializes in the real
+        # loop — e.g. int8's +38 ms/batch vs bf16 showed up ONLY here)
+        acc = {"host": [], "dispatch": [], "fetch": [], "composite": []}
 
         def finish(entry):
             t0, psm, outs = entry
 
             def work():
+                tf = time.perf_counter()
                 host = fetch_host(outs)
+                tc = time.perf_counter()
                 composite(psm, host)
-                lat_ms.append((time.perf_counter() - t0) * 1e3)
+                tdone = time.perf_counter()
+                acc["fetch"].append(tc - tf)
+                acc["composite"].append(tdone - tc)
+                lat_ms.append((tdone - t0) * 1e3)
             finishes.append(pool.submit(work))
             while len(finishes) > 2:  # bound queued device buffers
                 finishes.popleft().result()
@@ -997,6 +1006,8 @@ def main() -> int:
             t1 = time.perf_counter()
             inflight.append((t0, small, dispatch(small)))
             t2 = time.perf_counter()
+            acc["host"].append(t1 - t0)
+            acc["dispatch"].append(t2 - t1)
             n_frames += BATCH
             if len(inflight) > DEPTH:
                 finish(inflight.popleft())
@@ -1009,7 +1020,15 @@ def main() -> int:
             finish(inflight.popleft())
         for f in list(finishes):
             f.result()
-        return n_frames / (time.perf_counter() - t_round)
+        fps = n_frames / (time.perf_counter() - t_round)
+        if stage_ms is not None:
+            # skip the first batch of each list (fill transients)
+            for k, v in acc.items():
+                if len(v) > 1:
+                    v = v[1:]
+                stage_ms[k] = round(float(np.mean(v)) * 1e3, 1) if v else 0.0
+            stage_ms["batch"] = round(1e3 * BATCH / fps, 1) if fps else 0.0
+        return fps
 
     _test_stall("round")
     for _ in range(ROUNDS):
