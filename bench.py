@@ -554,7 +554,7 @@ def main() -> int:
     def _model_scores(params, x):
         """NHWC ingest output -> NCHW class scores under DTYPE."""
         if DTYPE == "int8":
-            return _qexe.fn({}, {"input": x})["out"]
+            return _qexe.fn(_qexe.params, {"input": x})["out"]
         with jax.default_matmul_precision(
                 "highest" if DTYPE == "f32" else "default"):
             return _fcn_forward(
@@ -963,14 +963,14 @@ def main() -> int:
     # DEPTH: batches in flight (the relay degrades beyond 1 — BENCH_NOTES).
     pool = ThreadPoolExecutor(1)
 
-    def run_round() -> float:
+    def run_round(stage_ms: dict | None = None) -> float:
         # GC pauses showed up as 140-280 ms host-stage spikes on the
         # dispatch thread; collect between rounds instead of mid-round
         import gc
         gc.collect()
         gc.disable()
         try:
-            return _run_round_inner()
+            return _run_round_inner(stage_ms)
         finally:
             gc.enable()
 
@@ -1031,8 +1031,15 @@ def main() -> int:
         return fps
 
     _test_stall("round")
-    for _ in range(ROUNDS):
-        rounds_done.append(run_round())
+    for r in range(ROUNDS):
+        # last round carries the per-batch stage decomposition into the
+        # line (host/dispatch/fetch/composite means): the isolated
+        # decomposition can't see what serializes in the REAL loop —
+        # int8's +38 ms/batch vs bf16 was visible only here
+        stage_ms: dict | None = {} if r == ROUNDS - 1 else None
+        rounds_done.append(run_round(stage_ms))
+        if stage_ms:
+            _extra["throughput_stage_ms"] = stage_ms
         _write_partial()
 
     # ---- post-round proof phases (each best-effort: the fps headline is

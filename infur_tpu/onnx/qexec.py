@@ -35,10 +35,18 @@ integer semantics (bit-exact vs the NumPy oracle):
   edge strips, so it folds into the bias for the interior plus four tiny
   edge-strip constant adds — computed on the host at trace time, no
   correction conv at all.
-* **Weights are baked constants.**  Quantized weights are inference
-  artifacts; baking them lets XLA constant-fold and pick layouts freely.
-  Data-parallel serving still works: shard the batch input, constants
-  replicate.
+* **Weights are baked constants by default.**  Quantized weights are
+  inference artifacts; baking them lets XLA constant-fold and pick
+  layouts freely.  Data-parallel serving still works: shard the batch
+  input, constants replicate.  ``weights="args"`` (or
+  ``INFUR_QEXEC_WEIGHTS=args``) instead routes every large conv array
+  (s8 kernel + folded int32 bias) through the ``params`` argument —
+  exactly how the native bf16 models pass their weights — shrinking the
+  compiled program from ~25 MB of embedded constants to a handle list.
+  Bit-identical either way (same arrays, same ops); the A/B exists
+  because a constant-heavy executable can pay program-swap/eviction
+  costs on the serving path that per-execution probes can't see
+  (BENCH_NOTES.md round 5).
 
 ``compile_qexec`` raises :class:`QExecUnsupported` for any graph outside
 its op set (transformers, f32 islands, exotic ops); callers fall back to
@@ -219,6 +227,10 @@ class QExecModel:
 
     def __post_init__(self):
         self.jitted = jax.jit(self.fn)
+        if self.params:
+            # weights="args": resident on device once, passed by handle
+            # every call (the bf16 params pattern)
+            self.params = jax.device_put(self.params)
 
     @property
     def input_names(self) -> list[str]:
@@ -229,8 +241,15 @@ class QExecModel:
 
 
 def compile_qexec(model_or_path: ModelProto | str | bytes, *,
-                  input_layout: str = "NCHW") -> QExecModel:
+                  input_layout: str = "NCHW",
+                  weights: str | None = None) -> QExecModel:
     """Compile a QOperator-form int8 CNN graph for NHWC TPU serving.
+
+    ``weights``: ``"baked"`` embeds conv weights as HLO constants (the
+    default), ``"args"`` routes them through the ``params`` argument
+    (see module docstring); ``None`` reads ``INFUR_QEXEC_WEIGHTS``.
+    Callers embedding ``.fn`` in an outer jit must pass ``model.params``
+    (empty in baked mode, so always safe) as the first argument.
 
     Raises :class:`QExecUnsupported` when the graph uses ops or quant
     layouts outside this executor's set — fall back to
@@ -238,6 +257,9 @@ def compile_qexec(model_or_path: ModelProto | str | bytes, *,
     """
     if input_layout not in ("NCHW", "NHWC"):
         raise ValueError(f"input_layout must be NCHW|NHWC, got {input_layout!r}")
+    wmode = weights or os.environ.get("INFUR_QEXEC_WEIGHTS", "baked")
+    if wmode not in ("baked", "args"):
+        raise ValueError(f"weights must be baked|args, got {wmode!r}")
     model = (model_or_path if isinstance(model_or_path, ModelProto)
              else load_model(model_or_path))
     if model.graph is None:
@@ -247,6 +269,22 @@ def compile_qexec(model_or_path: ModelProto | str | bytes, *,
     input_info = [vi for vi in graph.input if vi.name not in inits]
 
     steps: list[tuple[Any, Callable]] = []  # (node, run(env) -> None)
+
+    # weights="args" registry: build-time arrays rerouted through the
+    # params argument.  _reg returns get(env) -> jnp value; small arrays
+    # (< 1 KiB) stay baked either way — handle-count overhead would
+    # exceed their constant cost.
+    params_np: dict[str, np.ndarray] = {}
+
+    def _reg(key: str, arr: np.ndarray) -> Callable[[dict], Any]:
+        if wmode != "args" or arr.nbytes < 1024:
+            return lambda env, a=arr: jnp.asarray(a)
+        k, i = key, 0
+        while k in params_np:
+            i += 1
+            k = f"{key}#{i}"
+        params_np[k] = arr
+        return lambda env, k=k: env["__params__"][k]
 
     def _prep(node):
         op = node.op_type
@@ -396,7 +434,11 @@ def compile_qexec(model_or_path: ModelProto | str | bytes, *,
                     env[outs[0]] = y.reshape(n, ho, wo, w2d.shape[1])
                 return run
 
-            def run(env, ins=ins, outs=outs, wt=wt, wk=wk, base=base,
+            get_wt = _reg(f"{outs[0]}.w", wt)
+            get_base = _reg(f"{outs[0]}.b", base)
+
+            def run(env, ins=ins, outs=outs, wt=wt, wk=wk,
+                    get_wt=get_wt, get_base=get_base,
                     q4=q4, sh4=sh4, y_zp8=y_zp8, x_zp8=x_zp8,
                     strides=strides, dils=dils, kernel=kernel,
                     groups=groups, attrs=attrs):
@@ -422,11 +464,11 @@ def compile_qexec(model_or_path: ModelProto | str | bytes, *,
                 dn = lax.conv_dimension_numbers(
                     x8.shape, wt.shape, ("NHWC", "HWIO", "NHWC"))
                 acc = lax.conv_general_dilated(
-                    x8, jnp.asarray(wt), window_strides=strides,
+                    x8, get_wt(env), window_strides=strides,
                     padding=pads, rhs_dilation=dils, dimension_numbers=dn,
                     feature_group_count=groups,
                     preferred_element_type=jnp.int32)
-                acc = acc + jnp.asarray(base)
+                acc = acc + get_base(env)
                 # no-op after the zp-pad branch (pads are now all zero);
                 # kept for the x_zp8 == 0 fast path's documentation value
                 acc = _apply_zp_correction(
@@ -690,6 +732,13 @@ def compile_qexec(model_or_path: ModelProto | str | bytes, *,
 
     def fn(params: dict, feeds: dict) -> dict:
         env: dict[str, Any] = dict(inits)
+        if params_np:
+            missing = [k for k in params_np if k not in params]
+            if missing:
+                raise KeyError(
+                    f"weights='args' model called without its params "
+                    f"(missing {missing[:3]}...): pass model.params")
+            env["__params__"] = params
         for vi in input_info:
             if vi.name not in feeds:
                 raise KeyError(f"missing model input {vi.name!r}")
@@ -725,6 +774,6 @@ def compile_qexec(model_or_path: ModelProto | str | bytes, *,
             out[name] = v
         return out
 
-    return QExecModel(fn=fn, params={}, input_info=input_info,
+    return QExecModel(fn=fn, params=params_np, input_info=input_info,
                       output_names=output_names, graph=graph,
                       metadata=model.metadata(), input_layout=input_layout)

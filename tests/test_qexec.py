@@ -243,3 +243,23 @@ def test_model_stage_keyed_ingest_lossless(rng, monkeypatch):
     assert np.array_equal(st._ikey["host"], f3)
     monkeypatch.setenv("INFUR_APP_INGEST", "dense")
     assert st._keyed_ingest(f1) is None
+
+
+def test_weights_as_args_bit_identical(rng):
+    """weights="args" routes the conv weights/biases through the params
+    argument (the bf16-model pattern; the executable sheds its ~MB of
+    embedded constants) — same arrays, same ops, bit-identical results;
+    calling fn without the params is a loud KeyError, not silence."""
+    # 16x16x3x3 s8 = 2304 B: over the 1 KiB routing threshold
+    m, out = _qconv_model(rng, 3, 3, 1, 1, (1,) * 4, 1, 16, 16, 20, 22, 97)
+    baked = compile_qexec(m)
+    via_args = compile_qexec(m, weights="args")
+    assert baked.params == {} and via_args.params
+    x = rng.integers(0, 256, size=(1, 16, 20, 22)).astype(np.uint8)
+    x8 = (x.astype(np.int16) - 128).astype(np.int8)
+    np.testing.assert_array_equal(np.asarray(baked({"x": x8})[out]),
+                                  np.asarray(via_args({"x": x8})[out]))
+    with pytest.raises(KeyError, match="pass model.params"):
+        via_args.fn({}, {"x": x8})
+    with pytest.raises(ValueError, match="baked|args"):
+        compile_qexec(m, weights="frozen")

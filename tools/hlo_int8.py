@@ -97,7 +97,7 @@ def main() -> int:
     x_nhwc = np.zeros((B, H, W, 3), np.float32)
 
     def int8_fwd(x):
-        return jnp.sum(qe.fn({}, {"input": x})["out"].astype(jnp.float32))
+        return jnp.sum(qe.fn(qe.params, {"input": x})["out"].astype(jnp.float32))
 
     def bf16_fwd(p, x):
         return jnp.sum(_fcn_forward(p, x, "bfloat16")["out"]

@@ -94,7 +94,7 @@ def main() -> int:
     int8_run = scan_forward(
         lambda p, x: model.fn(p, {"input": x})["out"])
     int8_nhwc_run = scan_forward(
-        lambda p, x: qexec.fn({}, {"input": x})["out"])
+        lambda p, x: qexec.fn(qexec.params, {"input": x})["out"])
     bf16_run = scan_forward(
         lambda p, x: _fcn_forward(p, x, "bfloat16")["out"].astype(jnp.float32))
 

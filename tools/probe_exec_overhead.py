@@ -61,7 +61,7 @@ def main() -> int:
         (B, H, W, 3), np.float32))
 
     def int8_out(v):
-        return jnp.sum(qe.fn({}, {"input": v})["out"].astype(jnp.float32))
+        return jnp.sum(qe.fn(qe.params, {"input": v})["out"].astype(jnp.float32))
 
     def bf16_out(v):
         return jnp.sum(_fcn_forward(params, v, "bfloat16")["out"]

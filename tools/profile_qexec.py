@@ -99,7 +99,7 @@ def main() -> int:
             continue
 
         def fwd(x, sub=sub):
-            out = sub.fn({}, {"input": x})
+            out = sub.fn(sub.params, {"input": x})
             leaves = [v for v in out.values()
                       if not isinstance(v, (np.ndarray, np.generic))]
             return sum(jnp.sum(v.astype(jnp.float32),
