@@ -124,10 +124,14 @@ def test_watchdog_defers_during_warmup(tmp_path):
     deadline — not the watchdog — ends a warmup stall.  Guards the
     premature-zero mode measured on hardware (healthy relay, cold
     compilation cache, zero at watchdog_s + preflight)."""
+    # deadline must outlast jax import + preflight on a LOADED 1-core
+    # host (measured >25 s under a concurrent suite) or the emission
+    # happens before warmup is ever reached and the test can't assert
+    # the stall marker below
     proc, err = _launch(tmp_path, INFUR_BENCH_TEST_STALL="warmup",
                         INFUR_BENCH_WATCHDOG_S="1",
-                        INFUR_BENCH_DEADLINE_S="25")
-    stdout, _ = proc.communicate(timeout=180)
+                        INFUR_BENCH_DEADLINE_S="60")
+    stdout, _ = proc.communicate(timeout=240)
     out = _json_line(stdout)
     assert out["value"] == 0.0
     assert proc.returncode == 0
